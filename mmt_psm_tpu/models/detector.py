@@ -1,0 +1,283 @@
+"""GeneralizedRCNN: the full Mask R-CNN graph, fixed-shape.
+
+Orchestration parity with the reference GeneralizedRCNN (reference:
+maskrcnn_benchmark/modeling/detector/generalized_rcnn.py:17-115):
+backbone -> RPN -> box head -> mask head, with training losses or padded
+detections. The teacher/student mean-teacher paths (forward_teacher /
+forward_student, generalized_rcnn.py:117-199) live in train/mt_step.py
+as pure functions over this module's sub-forwards.
+
+Static configuration is carried by ``ModelConfig`` (hashable dataclass)
+so one jit trace serves every batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..structures.detections import Detections, GroundTruth, Proposals
+from . import box_head as BH
+from . import mask_head as MH
+from . import rpn as RPN
+from .anchors import fpn_anchors
+from .backbone import ResNetFPNBackbone
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Static model hyperparameters (subset of the cfg tree that shapes
+    the compiled program)."""
+
+    image_size: int = 1024
+    num_classes: int = 3
+    # anchors / rpn
+    anchor_sizes: tuple = (32, 64, 128, 256, 512)
+    anchor_strides: tuple = (4, 8, 16, 32, 64)
+    aspect_ratios: tuple = (0.5, 1.0, 2.0)
+    straddle_thresh: float = 0.0
+    rpn_fg_iou: float = 0.7
+    rpn_bg_iou: float = 0.3
+    rpn_batch_per_image: int = 256
+    rpn_positive_fraction: float = 0.5
+    pre_nms_top_n_train: int = 2000
+    pre_nms_top_n_test: int = 1000
+    post_nms_top_n_train: int = 2000
+    post_nms_top_n_test: int = 1000
+    fpn_post_nms_top_n_train: int = 2000
+    fpn_post_nms_top_n_test: int = 1000
+    rpn_nms_thresh: float = 0.7
+    rpn_min_size: float = 0.0
+    # roi heads
+    box_fg_iou: float = 0.5
+    box_bg_iou: float = 0.5
+    box_batch_per_image: int = 512
+    box_positive_fraction: float = 0.25
+    reg_weights: tuple = (10.0, 10.0, 5.0, 5.0)
+    pooler_scales: tuple = (0.25, 0.125, 0.0625, 0.03125)
+    box_pooler_resolution: int = 7
+    box_pooler_sampling: int = 2
+    mlp_dim: int = 1024
+    box_head_dropout: float = 0.0
+    # test
+    score_thresh: float = 0.05
+    nms_thresh: float = 0.5
+    detections_per_img: int = 200
+    # mask
+    mask_on: bool = True
+    mask_pooler_resolution: int = 14
+    mask_pooler_sampling: int = 2
+    mask_resolution: int = 28
+    mask_max_pos: int = 128
+    # backbone
+    backbone_out_channels: int = 256
+    freeze_at: int = 2
+    compute_dtype: str = "bfloat16"
+
+    @classmethod
+    def from_cfg(cls, cfg, train: bool = True) -> "ModelConfig":
+        return cls(
+            image_size=cfg.TPU.IMAGE_SIZE,
+            num_classes=cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES,
+            anchor_sizes=tuple(cfg.MODEL.RPN.ANCHOR_SIZES),
+            anchor_strides=tuple(cfg.MODEL.RPN.ANCHOR_STRIDE),
+            aspect_ratios=tuple(cfg.MODEL.RPN.ASPECT_RATIOS),
+            straddle_thresh=float(cfg.MODEL.RPN.STRADDLE_THRESH),
+            rpn_fg_iou=cfg.MODEL.RPN.FG_IOU_THRESHOLD,
+            rpn_bg_iou=cfg.MODEL.RPN.BG_IOU_THRESHOLD,
+            rpn_batch_per_image=cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,
+            rpn_positive_fraction=cfg.MODEL.RPN.POSITIVE_FRACTION,
+            pre_nms_top_n_train=cfg.MODEL.RPN.PRE_NMS_TOP_N_TRAIN,
+            pre_nms_top_n_test=cfg.MODEL.RPN.PRE_NMS_TOP_N_TEST,
+            post_nms_top_n_train=cfg.MODEL.RPN.POST_NMS_TOP_N_TRAIN,
+            post_nms_top_n_test=cfg.MODEL.RPN.POST_NMS_TOP_N_TEST,
+            fpn_post_nms_top_n_train=cfg.MODEL.RPN.FPN_POST_NMS_TOP_N_TRAIN,
+            fpn_post_nms_top_n_test=cfg.MODEL.RPN.FPN_POST_NMS_TOP_N_TEST,
+            rpn_nms_thresh=cfg.MODEL.RPN.NMS_THRESH,
+            rpn_min_size=float(cfg.MODEL.RPN.MIN_SIZE),
+            box_fg_iou=cfg.MODEL.ROI_HEADS.FG_IOU_THRESHOLD,
+            box_bg_iou=cfg.MODEL.ROI_HEADS.BG_IOU_THRESHOLD,
+            box_batch_per_image=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+            box_positive_fraction=cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
+            reg_weights=tuple(cfg.MODEL.ROI_HEADS.BBOX_REG_WEIGHTS),
+            pooler_scales=tuple(cfg.MODEL.ROI_BOX_HEAD.POOLER_SCALES),
+            box_pooler_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+            box_pooler_sampling=cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO,
+            mlp_dim=cfg.MODEL.ROI_BOX_HEAD.MLP_HEAD_DIM,
+            box_head_dropout=cfg.MODEL.ROI_BOX_HEAD.DO,
+            score_thresh=cfg.MODEL.ROI_HEADS.SCORE_THRESH,
+            nms_thresh=cfg.MODEL.ROI_HEADS.NMS,
+            detections_per_img=cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG,
+            mask_on=cfg.MODEL.MASK_ON,
+            mask_pooler_resolution=cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
+            mask_pooler_sampling=cfg.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO,
+            mask_resolution=cfg.MODEL.ROI_MASK_HEAD.RESOLUTION,
+            backbone_out_channels=cfg.MODEL.BACKBONE.OUT_CHANNELS,
+            freeze_at=cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT,
+            compute_dtype=cfg.TPU.COMPUTE_DTYPE,
+        )
+
+
+class MaskRCNN(nn.Module):
+    config: ModelConfig
+
+    def setup(self):
+        c = self.config
+        self.backbone = ResNetFPNBackbone(
+            out_channels=c.backbone_out_channels, freeze_at=c.freeze_at, name="backbone"
+        )
+        self.rpn_head = RPN.RPNHead(num_anchors=len(c.aspect_ratios), channels=c.backbone_out_channels, name="rpn")
+        self.box_extractor = BH.FPN2MLPExtractor(mlp_dim=c.mlp_dim, dropout=c.box_head_dropout, name="box_extractor")
+        self.box_predictor = BH.FPNPredictor(num_classes=c.num_classes, name="box_predictor")
+        if c.mask_on:
+            self.mask_extractor = MH.MaskRCNNFPNExtractor(name="mask_extractor")
+            self.mask_predictor = MH.MaskRCNNC4Predictor(num_classes=c.num_classes, name="mask_predictor")
+
+    # -- shared pieces ----------------------------------------------------
+    def _anchors(self):
+        c = self.config
+        levels = fpn_anchors(c.image_size, c.anchor_strides, c.anchor_sizes, c.aspect_ratios)
+        return [jnp.asarray(a) for a in levels]
+
+    def extract_features(self, images):
+        x = images.astype(self.config.compute_dtype)
+        return self.backbone(x)
+
+    def _box_forward(self, features, boxes, deterministic: bool):
+        c = self.config
+        pooled = BH.pool_boxes_batched(
+            features, boxes, c.pooler_scales, c.box_pooler_resolution, c.box_pooler_sampling
+        )
+        b, s = pooled.shape[:2]
+        flat = pooled.reshape(b * s, *pooled.shape[2:])
+        feats = self.box_extractor(flat, deterministic=deterministic)
+        logits, regs = self.box_predictor(feats)
+        return logits.reshape(b, s, -1), regs.reshape(b, s, -1)
+
+    def _mask_forward(self, features, boxes):
+        c = self.config
+        pooled = BH.pool_boxes_batched(
+            features, boxes, c.pooler_scales, c.mask_pooler_resolution, c.mask_pooler_sampling
+        )
+        b, s = pooled.shape[:2]
+        flat = pooled.reshape(b * s, *pooled.shape[2:])
+        x = self.mask_extractor(flat)
+        logits = self.mask_predictor(x)
+        r = logits.shape[1]
+        return logits.reshape(b, s, r, r, -1)
+
+    # -- training ---------------------------------------------------------
+    def __call__(self, images, image_sizes, gt: GroundTruth | None = None, train: bool = False):
+        if train:
+            return self.forward_train(images, image_sizes, gt)
+        return self.forward_test(images, image_sizes)
+
+    def forward_train(self, images, image_sizes, gt: GroundTruth):
+        c = self.config
+        features = self.extract_features(images)
+        objectness, box_reg = self.rpn_head(features)
+        anchors = self._anchors()
+
+        rng_rpn = self.make_rng("sample")
+        loss_obj, loss_rpn_box = RPN.rpn_loss(
+            rng_rpn,
+            objectness,
+            box_reg,
+            anchors,
+            image_sizes,
+            gt,
+            fg_thresh=c.rpn_fg_iou,
+            bg_thresh=c.rpn_bg_iou,
+            batch_per_image=c.rpn_batch_per_image,
+            positive_fraction=c.rpn_positive_fraction,
+            straddle_thresh=c.straddle_thresh,
+        )
+
+        proposals = RPN.select_proposals(
+            [jax.lax.stop_gradient(o) for o in objectness],
+            [jax.lax.stop_gradient(r) for r in box_reg],
+            anchors,
+            image_sizes,
+            pre_nms_top_n=c.pre_nms_top_n_train,
+            post_nms_top_n=c.post_nms_top_n_train,
+            fpn_post_nms_top_n=c.fpn_post_nms_top_n_train,
+            nms_thresh=c.rpn_nms_thresh,
+            min_size=c.rpn_min_size,
+            is_train=True,
+            gt=gt,
+        )
+
+        rng_box = self.make_rng("sample")
+        rois = BH.subsample_proposals(
+            rng_box,
+            proposals,
+            gt,
+            batch_size_per_image=c.box_batch_per_image,
+            positive_fraction=c.box_positive_fraction,
+            fg_thresh=c.box_fg_iou,
+            bg_thresh=c.box_bg_iou,
+            reg_weights=c.reg_weights,
+        )
+        class_logits, box_regression = self._box_forward(features, rois.boxes, deterministic=False)
+        loss_cls, loss_box = BH.box_head_loss(class_logits, box_regression, rois)
+
+        losses = {
+            "loss_objectness": loss_obj,
+            "loss_rpn_box_reg": loss_rpn_box,
+            "loss_classifier": loss_cls,
+            "loss_box_reg": loss_box,
+        }
+
+        if c.mask_on:
+            m_boxes, m_labels, m_gt_idx, m_valid = MH.select_positive_rois(rois, c.mask_max_pos)
+            mask_logits = self._mask_forward(features, m_boxes)
+
+            # gather each RoI's matched gt mask and project into the box
+            def per_image(masks_i, gt_idx_i, boxes_i):
+                src = masks_i[gt_idx_i]  # [S, Hm, Wm]
+                scale = gt.masks.shape[-1] / c.image_size
+                return MH.crop_masks_to_boxes(src, boxes_i * scale, c.mask_resolution)
+
+            mask_targets = jax.vmap(per_image)(gt.masks, m_gt_idx, m_boxes)
+            losses["loss_mask"] = MH.mask_head_loss(mask_logits, mask_targets, m_labels, m_valid)
+        return losses
+
+    # -- inference --------------------------------------------------------
+    def forward_test(self, images, image_sizes) -> Detections:
+        c = self.config
+        features = self.extract_features(images)
+        objectness, box_reg = self.rpn_head(features)
+        anchors = self._anchors()
+        proposals = RPN.select_proposals(
+            objectness,
+            box_reg,
+            anchors,
+            image_sizes,
+            pre_nms_top_n=c.pre_nms_top_n_test,
+            post_nms_top_n=c.post_nms_top_n_test,
+            fpn_post_nms_top_n=c.fpn_post_nms_top_n_test,
+            nms_thresh=c.rpn_nms_thresh,
+            min_size=c.rpn_min_size,
+            is_train=False,
+        )
+        class_logits, box_regression = self._box_forward(features, proposals.boxes, deterministic=True)
+        dets = BH.postprocess_boxes(
+            class_logits,
+            box_regression,
+            proposals,
+            image_sizes,
+            num_classes=c.num_classes,
+            score_thresh=c.score_thresh,
+            nms_thresh=c.nms_thresh,
+            detections_per_img=c.detections_per_img,
+            reg_weights=c.reg_weights,
+        )
+        if c.mask_on:
+            mask_logits = self._mask_forward(features, dets.boxes)
+            probs = MH.select_mask_probs(mask_logits, dets.labels)
+            dets = dets.replace(masks=probs)
+        return dets
