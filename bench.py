@@ -1,0 +1,70 @@
+"""Benchmark: 1000x1000-patch inference throughput per chip.
+
+The BASELINE.md north star is >= 200 patches/sec on a v5e-8, i.e.
+25 patches/sec/chip; ``vs_baseline`` is measured against that per-chip
+number. Patches are padded to the 1024 canvas (matching the pap
+sliding-window pipeline, reference Pap.py:26-31 + SIZE_DIVISIBILITY).
+
+Prints exactly one JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_PER_CHIP = 25.0  # patches/sec/chip (200 on v5e-8)
+
+
+def main():
+    from mmt_psm_tpu.data.synthetic import generate_batch, normalize_image
+    from mmt_psm_tpu.models import MaskRCNN, ModelConfig
+
+    batch_size = 4
+    cfg = ModelConfig(image_size=1024)
+    model = MaskRCNN(config=cfg)
+
+    b = generate_batch(0, batch_size, image_size=1024, max_instances=64)
+    images = jnp.asarray(normalize_image(b["image"]))
+    sizes = jnp.asarray(np.full((batch_size, 2), 1000, np.int32))  # true patch size
+
+    init_rngs = {"params": jax.random.PRNGKey(0)}
+    params = model.init(init_rngs, images[:1], sizes[:1], train=False)
+
+    @jax.jit
+    def infer(params, images, sizes):
+        d = model.apply(params, images, sizes, train=False)
+        return d.boxes, d.scores, d.labels, d.valid, d.masks
+
+    # warmup / compile (the remote-TPU path can recompile once more on
+    # the second call; block per-iteration to defeat async-dispatch
+    # artifacts in timing)
+    for _ in range(2):
+        out = infer(params, images, sizes)
+        jax.block_until_ready(out)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer(params, images, sizes)
+        jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    patches_per_sec = batch_size * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "1000px_patch_inference_throughput_per_chip",
+                "value": round(patches_per_sec, 3),
+                "unit": "patches/sec/chip",
+                "vs_baseline": round(patches_per_sec / BASELINE_PER_CHIP, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
