@@ -39,18 +39,21 @@ def main():
         d = model.apply(params, images, sizes, train=False)
         return d.boxes, d.scores, d.labels, d.valid, d.masks
 
-    # warmup / compile (the remote-TPU path can recompile once more on
-    # the second call; block per-iteration to defeat async-dispatch
-    # artifacts in timing)
-    for _ in range(2):
+    # NOTE: on the remote (axon-tunnel) TPU platform block_until_ready
+    # does not actually block; only a host transfer forces execution.
+    # Sync by reading one scalar from each iteration's output.
+    def run_sync():
         out = infer(params, images, sizes)
-        jax.block_until_ready(out)
+        return float(out[1][0, 0])
+
+    for _ in range(2):  # compile + steady-state warmup
+        run_sync()
 
     iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = infer(params, images, sizes)
-        jax.block_until_ready(out)
+    outs = [infer(params, images, sizes) for _ in range(iters)]
+    for o in outs:
+        float(o[1][0, 0])
     dt = time.perf_counter() - t0
 
     patches_per_sec = batch_size * iters / dt
