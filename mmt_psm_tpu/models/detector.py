@@ -77,6 +77,10 @@ class ModelConfig:
     backbone_out_channels: int = 256
     freeze_at: int = 2
     compute_dtype: str = "bfloat16"
+    # mean-teacher hint adaptor (MGD): 1x1 conv per FPN level
+    # (reference roi_box_feature_extractors.py:45-75, MT.T_ADAPT)
+    with_hint_adaptor: bool = False
+    hint_dim: int = 128
 
     @classmethod
     def from_cfg(cls, cfg, train: bool = True) -> "ModelConfig":
@@ -122,6 +126,21 @@ class ModelConfig:
         )
 
 
+class HintAdaptor(nn.Module):
+    """Per-level 1x1 conv embedding for MGD feature distillation
+    (reference MaskRCNNFPNAdaptor, roi_box_feature_extractors.py:45-75)."""
+
+    out_dim: int = 128
+
+    @nn.compact
+    def __call__(self, features):
+        init = nn.initializers.variance_scaling(1.0 / 3, "fan_in", "uniform")
+        return tuple(
+            nn.Conv(self.out_dim, (1, 1), kernel_init=init, name=f"adapter_{i+1}")(f)
+            for i, f in enumerate(features)
+        )
+
+
 class MaskRCNN(nn.Module):
     config: ModelConfig
 
@@ -136,6 +155,8 @@ class MaskRCNN(nn.Module):
         if c.mask_on:
             self.mask_extractor = MH.MaskRCNNFPNExtractor(name="mask_extractor")
             self.mask_predictor = MH.MaskRCNNC4Predictor(num_classes=c.num_classes, name="mask_predictor")
+        if c.with_hint_adaptor:
+            self.hint_adaptor = HintAdaptor(out_dim=c.hint_dim, name="hint_adaptor")
 
     # -- shared pieces ----------------------------------------------------
     def _anchors(self):
@@ -169,6 +190,53 @@ class MaskRCNN(nn.Module):
         logits = self.mask_predictor(x)
         r = logits.shape[1]
         return logits.reshape(b, s, r, r, -1)
+
+    # -- sub-forwards for the mean-teacher loop ---------------------------
+    def backbone_features(self, images):
+        """Feature pyramid only (extract_aug_feat building block,
+        generalized_rcnn.py:201-215)."""
+        return self.extract_features(images)
+
+    def hint_embeddings(self, features):
+        """MGD embeddings (generalized_rcnn.py:218-222)."""
+        return self.hint_adaptor(features)
+
+    def rpn_raw(self, features):
+        """Raw RPN conv outputs per level."""
+        return self.rpn_head(features)
+
+    def box_predictions(self, features, boxes, deterministic: bool = True):
+        """Pool + box MLP + predictor on given per-image box sets
+        (ROIBoxHead._forward_single per-view body, box_head.py:77-100)."""
+        return self._box_forward(features, boxes, deterministic=deterministic)
+
+    def teacher_proposals(self, features, image_sizes, pseudo_gt: GroundTruth):
+        """Train-mode proposal selection against pseudo ground truth
+        (rpn.forward_teacher -> box_selector_train, rpn.py:146-177)."""
+        c = self.config
+        objectness, box_reg = self.rpn_head(features)
+        return RPN.select_proposals(
+            objectness,
+            box_reg,
+            self._anchors(),
+            image_sizes,
+            pre_nms_top_n=c.pre_nms_top_n_train,
+            post_nms_top_n=c.post_nms_top_n_train,
+            fpn_post_nms_top_n=c.fpn_post_nms_top_n_train,
+            nms_thresh=c.rpn_nms_thresh,
+            min_size=c.rpn_min_size,
+            is_train=True,
+            gt=pseudo_gt,
+        )
+
+    def init_all(self, images, image_sizes, gt: GroundTruth):
+        """Initialization-only forward touching every submodule (the
+        training path plus the MGD hint adaptor)."""
+        losses = self.forward_train(images, image_sizes, gt)
+        if self.config.with_hint_adaptor:
+            feats = self.extract_features(images)
+            self.hint_adaptor(feats)
+        return losses
 
     # -- training ---------------------------------------------------------
     def __call__(self, images, image_sizes, gt: GroundTruth | None = None, train: bool = False):
