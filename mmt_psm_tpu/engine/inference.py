@@ -1,0 +1,132 @@
+"""Inference engine: batched device inference -> host eval records.
+
+Mirrors the reference flow (reference:
+maskrcnn_benchmark/engine/inference.py:16-125 +
+data/datasets/evaluation/pap/pap_eval.py:79-143
+prepare_for_pap_segmentation): the model emits 28x28 mask probabilities
+per detection (POSTPROCESS_MASKS=False, config/defaults.py:215); the
+host pastes them into image space at threshold 0.5 and hands
+box-cropped instance masks to the Papeval stack.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+
+import jax
+import numpy as np
+
+from ..evaluation.instmask import InstSeg
+from ..evaluation.pap_eval import PapEvaluator
+
+
+def detections_to_instseg(boxes, scores, labels, valid, mask_probs, image_hw, threshold=0.5):
+    """Convert one image's padded detections into per-class InstSeg.
+
+    boxes/scores/labels/valid/mask_probs: numpy arrays for one image
+    ([K,4], [K], [K], [K], [K,M,M]). Pasting follows Masker semantics
+    (mask_head/inference.py:169-246): bilinear resize of the 28x28 map
+    to the box extent, threshold at 0.5.
+    """
+    h, w = int(image_hw[0]), int(image_hw[1])
+    out = defaultdict(lambda: {"boxes": [], "masks": [], "scores": []})
+    m = mask_probs.shape[-1]
+    for k in range(len(boxes)):
+        if not valid[k]:
+            continue
+        x1, y1, x2, y2 = boxes[k]
+        xi1, yi1 = int(np.floor(x1)), int(np.floor(y1))
+        xi2, yi2 = int(np.ceil(x2)), int(np.ceil(y2))
+        xi1, yi1 = max(xi1, 0), max(yi1, 0)
+        xi2, yi2 = min(xi2, w - 1), min(yi2, h - 1)
+        bw, bh = xi2 - xi1 + 1, yi2 - yi1 + 1
+        if bw <= 0 or bh <= 0:
+            continue
+        # bilinear resize mask m x m -> bh x bw (align_corners=False)
+        ys = (np.arange(bh) + yi1 - y1 + 0.5) / max(y2 - y1 + 1, 1) * m - 0.5
+        xs = (np.arange(bw) + xi1 - x1 + 0.5) / max(x2 - x1 + 1, 1) * m - 0.5
+        ys = np.clip(ys, 0, m - 1)
+        xs = np.clip(xs, 0, m - 1)
+        y0 = np.floor(ys).astype(int)
+        x0 = np.floor(xs).astype(int)
+        y1f = ys - y0
+        x1f = xs - x0
+        y0c = np.minimum(y0 + 1, m - 1)
+        x0c = np.minimum(x0 + 1, m - 1)
+        mp = mask_probs[k]
+        top = mp[y0][:, x0] * (1 - x1f) + mp[y0][:, x0c] * x1f
+        bot = mp[y0c][:, x0] * (1 - x1f) + mp[y0c][:, x0c] * x1f
+        resized = top * (1 - y1f)[:, None] + bot * y1f[:, None]
+        local = resized >= threshold
+        if not local.any():
+            continue
+        cat = int(labels[k])
+        out[cat]["boxes"].append([xi1, yi1, xi2, yi2])
+        out[cat]["masks"].append(local)
+        out[cat]["scores"].append(float(scores[k]))
+    return {
+        cat: InstSeg(
+            boxes=np.asarray(v["boxes"], np.int64),
+            masks=v["masks"],
+            scores=np.asarray(v["scores"], np.float64),
+        )
+        for cat, v in out.items()
+    }
+
+
+def gt_to_instseg(boxes, labels, valid, masks, mask_scale=1.0):
+    """Ground truth arrays -> per-class InstSeg. masks: [M, Hm, Wm] full-
+    frame bitmasks (possibly at reduced resolution; mask_scale upsamples
+    boxes accordingly is NOT applied — pass full-res masks for eval)."""
+    out = defaultdict(lambda: {"boxes": [], "masks": []})
+    for k in range(len(boxes)):
+        if not valid[k]:
+            continue
+        m = masks[k].astype(bool)
+        ys, xs = np.nonzero(m)
+        if len(ys) == 0:
+            continue
+        y1, y2, x1, x2 = ys.min(), ys.max(), xs.min(), xs.max()
+        out[int(labels[k])]["boxes"].append([x1, y1, x2, y2])
+        out[int(labels[k])]["masks"].append(np.ascontiguousarray(m[y1 : y2 + 1, x1 : x2 + 1]))
+    return {
+        cat: InstSeg(boxes=np.asarray(v["boxes"], np.int64), masks=v["masks"])
+        for cat, v in out.items()
+    }
+
+
+def run_inference(model, params, batches, categories=(1, 2), max_dets: int = 200):
+    """Eval loop: jitted inference per batch, Papeval accumulation on host.
+
+    batches: iterable of dicts with image/image_size (+ gt arrays for
+    evaluation). Returns (stats dict, timing dict).
+    """
+
+    @jax.jit
+    def infer(p, images, sizes):
+        d = model.apply(p, images, sizes, train=False)
+        return d.boxes, d.scores, d.labels, d.valid, d.masks
+
+    evaluator = PapEvaluator(categories=categories, max_dets=max_dets)
+    n_images = 0
+    t0 = time.perf_counter()
+    for batch in batches:
+        boxes, scores, labels, valid, masks = jax.tree_util.tree_map(
+            np.asarray, infer(params, batch["image"], batch["image_size"])
+        )
+        for i in range(boxes.shape[0]):
+            dt = detections_to_instseg(
+                boxes[i], scores[i], labels[i], valid[i], masks[i], batch["image_size"][i]
+            )
+            gt = gt_to_instseg(
+                np.asarray(batch["boxes"][i]),
+                np.asarray(batch["labels"][i]),
+                np.asarray(batch["gt_valid"][i]),
+                np.asarray(batch["masks"][i]),
+            )
+            evaluator.add_image(dt, gt)
+            n_images += 1
+    dt_total = time.perf_counter() - t0
+    stats = evaluator.summarize()
+    return stats, {"images": n_images, "seconds": dt_total, "images_per_sec": n_images / max(dt_total, 1e-9)}

@@ -81,6 +81,9 @@ class ModelConfig:
     # (reference roi_box_feature_extractors.py:45-75, MT.T_ADAPT)
     with_hint_adaptor: bool = False
     hint_dim: int = 128
+    # IR-Net relation-NMS head (generalized_rcnn.py:27-30, 63-95)
+    with_relation_nms: bool = False
+    relation: Any = None  # RelationNMSConfig
 
     @classmethod
     def from_cfg(cls, cfg, train: bool = True) -> "ModelConfig":
@@ -157,6 +160,10 @@ class MaskRCNN(nn.Module):
             self.mask_predictor = MH.MaskRCNNC4Predictor(num_classes=c.num_classes, name="mask_predictor")
         if c.with_hint_adaptor:
             self.hint_adaptor = HintAdaptor(out_dim=c.hint_dim, name="hint_adaptor")
+        if c.with_relation_nms:
+            from .relation import RelationNMS
+
+            self.relation_nms = RelationNMS(config=c.relation, name="relation_nms")
 
     # -- shared pieces ----------------------------------------------------
     def _anchors(self):
@@ -177,7 +184,7 @@ class MaskRCNN(nn.Module):
         flat = pooled.reshape(b * s, *pooled.shape[2:])
         feats = self.box_extractor(flat, deterministic=deterministic)
         logits, regs = self.box_predictor(feats)
-        return logits.reshape(b, s, -1), regs.reshape(b, s, -1)
+        return logits.reshape(b, s, -1), regs.reshape(b, s, -1), feats.reshape(b, s, -1)
 
     def _mask_forward(self, features, boxes):
         c = self.config
@@ -207,7 +214,8 @@ class MaskRCNN(nn.Module):
 
     def box_predictions(self, features, boxes, deterministic: bool = True):
         """Pool + box MLP + predictor on given per-image box sets
-        (ROIBoxHead._forward_single per-view body, box_head.py:77-100)."""
+        (ROIBoxHead._forward_single per-view body, box_head.py:77-100).
+        Returns (class_logits, box_regression, fc7_features)."""
         return self._box_forward(features, boxes, deterministic=deterministic)
 
     def teacher_proposals(self, features, image_sizes, pseudo_gt: GroundTruth):
@@ -290,7 +298,7 @@ class MaskRCNN(nn.Module):
             bg_thresh=c.box_bg_iou,
             reg_weights=c.reg_weights,
         )
-        class_logits, box_regression = self._box_forward(features, rois.boxes, deterministic=False)
+        class_logits, box_regression, box_feats = self._box_forward(features, rois.boxes, deterministic=False)
         loss_cls, loss_box = BH.box_head_loss(class_logits, box_regression, rois)
 
         losses = {
@@ -299,6 +307,22 @@ class MaskRCNN(nn.Module):
             "loss_classifier": loss_cls,
             "loss_box_reg": loss_box,
         }
+
+        if c.with_relation_nms:
+            # per-image learned-NMS loss (generalized_rcnn.py:63-95)
+            from .relation import relation_nms_loss
+
+            probs = jax.nn.softmax(class_logits.astype(jnp.float32), axis=-1)
+            nms_losses = []
+            for i in range(images.shape[0]):
+                out = self.relation_nms(
+                    box_feats[i], probs[i], box_regression[i], rois.boxes[i],
+                    rois.valid[i], image_sizes[i],
+                )
+                nms_losses.append(
+                    relation_nms_loss(out, gt.boxes[i], gt.labels[i], gt.valid[i], c.relation)
+                )
+            losses["nms_loss"] = jnp.mean(jnp.stack(nms_losses))
 
         if c.mask_on:
             m_boxes, m_labels, m_gt_idx, m_valid = MH.select_positive_rois(rois, c.mask_max_pos)
@@ -332,18 +356,38 @@ class MaskRCNN(nn.Module):
             min_size=c.rpn_min_size,
             is_train=False,
         )
-        class_logits, box_regression = self._box_forward(features, proposals.boxes, deterministic=True)
-        dets = BH.postprocess_boxes(
-            class_logits,
-            box_regression,
-            proposals,
-            image_sizes,
-            num_classes=c.num_classes,
-            score_thresh=c.score_thresh,
-            nms_thresh=c.nms_thresh,
-            detections_per_img=c.detections_per_img,
-            reg_weights=c.reg_weights,
-        )
+        class_logits, box_regression, box_feats = self._box_forward(features, proposals.boxes, deterministic=True)
+        if c.with_relation_nms:
+            # learned NMS replaces the classic post-processor at test time
+            # (box_head.py:55-65, generalized_rcnn.py:86-91)
+            from .relation import relation_nms_inference
+
+            probs = jax.nn.softmax(class_logits.astype(jnp.float32), axis=-1)
+            per_img = []
+            for i in range(images.shape[0]):
+                out = self.relation_nms(
+                    box_feats[i], probs[i], box_regression[i], proposals.boxes[i],
+                    proposals.valid[i], image_sizes[i],
+                )
+                per_img.append(relation_nms_inference(out, c.relation))
+            dets = Detections(
+                boxes=jnp.stack([p[0] for p in per_img]),
+                scores=jnp.stack([p[1] for p in per_img]),
+                labels=jnp.stack([p[2] for p in per_img]),
+                valid=jnp.stack([p[3] for p in per_img]),
+            )
+        else:
+            dets = BH.postprocess_boxes(
+                class_logits,
+                box_regression,
+                proposals,
+                image_sizes,
+                num_classes=c.num_classes,
+                score_thresh=c.score_thresh,
+                nms_thresh=c.nms_thresh,
+                detections_per_img=c.detections_per_img,
+                reg_weights=c.reg_weights,
+            )
         if c.mask_on:
             mask_logits = self._mask_forward(features, dets.boxes)
             probs = MH.select_mask_probs(mask_logits, dets.labels)

@@ -284,7 +284,7 @@ def unlabeled_losses(model, student_params, teacher_params, batch, rng, mt: MTCo
     t_logits = []
     for vi, f in enumerate(t_feats):
         boxes_v = flipped_boxes if vi % 2 == 1 else rois_boxes
-        logits, _ = model.apply(tvars, f, boxes_v, True, method=model.box_predictions)
+        logits = model.apply(tvars, f, boxes_v, True, method=model.box_predictions)[0]
         t_logits.append(logits)
     t_logits = jax.lax.stop_gradient(t_logits)
     t_embs = jax.lax.stop_gradient(t_embs)
@@ -301,9 +301,9 @@ def unlabeled_losses(model, student_params, teacher_params, batch, rng, mt: MTCo
         s_embs.append(model.apply(svars, f, method=model.hint_embeddings))
         boxes_v = flipped_boxes if si % 2 == 1 else rois_boxes
         rng, r_do = jax.random.split(rng)
-        logits, _ = model.apply(
+        logits = model.apply(
             svars, f, boxes_v, False, method=model.box_predictions, rngs={"dropout": r_do}
-        )
+        )[0]
         s_logits.append(logits)
 
     losses = {}
