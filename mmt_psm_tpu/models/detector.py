@@ -84,6 +84,9 @@ class ModelConfig:
     # IR-Net relation-NMS head (generalized_rcnn.py:27-30, 63-95)
     with_relation_nms: bool = False
     relation: Any = None  # RelationNMSConfig
+    # IR-Net mask relation refinement (mask_head.py:96-122)
+    with_relation_mask: bool = False
+    relation_mask: Any = None  # MaskRelationConfig
 
     @classmethod
     def from_cfg(cls, cfg, train: bool = True) -> "ModelConfig":
@@ -164,6 +167,10 @@ class MaskRCNN(nn.Module):
             from .relation import RelationNMS
 
             self.relation_nms = RelationNMS(config=c.relation, name="relation_nms")
+        if c.with_relation_mask:
+            from .mask_relation import MaskRelationRefineNet
+
+            self.mask_relation = MaskRelationRefineNet(config=c.relation_mask, name="mask_relation")
 
     # -- shared pieces ----------------------------------------------------
     def _anchors(self):
@@ -196,7 +203,16 @@ class MaskRCNN(nn.Module):
         x = self.mask_extractor(flat)
         logits = self.mask_predictor(x)
         r = logits.shape[1]
-        return logits.reshape(b, s, r, r, -1)
+        p = x.shape[1]
+        return logits.reshape(b, s, r, r, -1), x.reshape(b, s, p, p, -1)
+
+    def _refine_masks(self, mask_logits, mask_feats, labels, valid):
+        """Per-image mask relation refinement (mask_head.py:96-122)."""
+        b = mask_logits.shape[0]
+        out = []
+        for i in range(b):
+            out.append(self.mask_relation(mask_feats[i], mask_logits[i], labels[i], valid[i]))
+        return jnp.stack(out)
 
     # -- sub-forwards for the mean-teacher loop ---------------------------
     def backbone_features(self, images):
@@ -326,7 +342,7 @@ class MaskRCNN(nn.Module):
 
         if c.mask_on:
             m_boxes, m_labels, m_gt_idx, m_valid = MH.select_positive_rois(rois, c.mask_max_pos)
-            mask_logits = self._mask_forward(features, m_boxes)
+            mask_logits, mask_feats = self._mask_forward(features, m_boxes)
 
             # gather each RoI's matched gt mask and project into the box
             def per_image(masks_i, gt_idx_i, boxes_i):
@@ -335,7 +351,17 @@ class MaskRCNN(nn.Module):
                 return MH.crop_masks_to_boxes(src, boxes_i * scale, c.mask_resolution)
 
             mask_targets = jax.vmap(per_image)(gt.masks, m_gt_idx, m_boxes)
-            losses["loss_mask"] = MH.mask_head_loss(mask_logits, mask_targets, m_labels, m_valid)
+            loss_mask_1 = MH.mask_head_loss(mask_logits, mask_targets, m_labels, m_valid)
+            if c.with_relation_mask:
+                refined = self._refine_masks(mask_logits, mask_feats, m_labels, m_valid)
+                loss_mask_2 = MH.mask_head_loss(refined, mask_targets, m_labels, m_valid)
+                # deep supervision 0.5*(L1+L2) (mask_head.py:139-148)
+                if c.relation_mask.deep_super:
+                    losses["loss_mask"] = 0.5 * (loss_mask_1 + loss_mask_2)
+                else:
+                    losses["loss_mask"] = loss_mask_2
+            else:
+                losses["loss_mask"] = loss_mask_1
         return losses
 
     # -- inference --------------------------------------------------------
@@ -389,7 +415,9 @@ class MaskRCNN(nn.Module):
                 reg_weights=c.reg_weights,
             )
         if c.mask_on:
-            mask_logits = self._mask_forward(features, dets.boxes)
+            mask_logits, mask_feats = self._mask_forward(features, dets.boxes)
+            if c.with_relation_mask:
+                mask_logits = self._refine_masks(mask_logits, mask_feats, dets.labels, dets.valid)
             probs = MH.select_mask_probs(mask_logits, dets.labels)
             dets = dets.replace(masks=probs)
         return dets
