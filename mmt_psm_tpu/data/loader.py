@@ -1,0 +1,169 @@
+"""Batch assembly: host pipeline -> fixed-shape device batches.
+
+Replaces the reference's DataLoader + collators (reference:
+maskrcnn_benchmark/data/build.py:143-318, data/collate_batch.py:5-76):
+
+* ``make_source_loader`` — labeled batches with the source transform
+  (resize/flip/jitter/erase) padded to a static canvas and MAX_GT rows;
+* ``make_unlabeled_loader`` — the mean-teacher K-aug batches: one
+  shared geometric transform per patch, AUG_K teacher + AUG_S student
+  color versions (BatchCollatorWoLabelK, collate_batch.py:58-76);
+* ``make_test_loader`` — deterministic eval batches.
+
+Iteration-based infinite cycling matches IterationBasedBatchSampler
+(data/samplers/iteration_based_batch_sampler.py:5-31).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import transforms as T
+
+
+def pad_to_canvas(sample: dict, canvas: int, max_gt: int, mask_size: int | None = None) -> dict:
+    """Place the (resized) image top-left on a [canvas, canvas] frame and
+    pad GT arrays to fixed sizes."""
+    img = sample["image"]
+    h, w = img.shape[:2]
+    assert h <= canvas and w <= canvas, (h, w, canvas)
+    out_img = np.zeros((canvas, canvas, 3), np.float32)
+    out_img[:h, :w] = img
+
+    mask_size = mask_size or canvas
+    boxes = np.zeros((max_gt, 4), np.float32)
+    labels = np.zeros((max_gt,), np.int32)
+    valid = np.zeros((max_gt,), bool)
+    masks = np.zeros((max_gt, mask_size, mask_size), np.uint8)
+    n = min(len(sample.get("boxes", [])), max_gt)
+    if n:
+        boxes[:n] = sample["boxes"][:n]
+        labels[:n] = sample["labels"][:n]
+        valid[:n] = True
+        src = sample["masks"][:n]
+        if mask_size == canvas:
+            masks[:n, :h, :w] = src[:, :h, :w]
+        else:
+            step = canvas // mask_size
+            for i in range(n):
+                m = np.zeros((canvas, canvas), np.uint8)
+                m[:h, :w] = src[i][:h, :w]
+                masks[i] = m[::step, ::step][:mask_size, :mask_size]
+    return {
+        "image": out_img,
+        "boxes": boxes,
+        "labels": labels,
+        "gt_valid": valid,
+        "masks": masks,
+        "image_size": np.array([h, w], np.int32),
+    }
+
+
+def _stack(batch_list):
+    return {k: np.stack([b[k] for b in batch_list]) for k in batch_list[0]}
+
+
+def make_source_loader(
+    dataset,
+    batch_size: int,
+    canvas: int,
+    max_gt: int = 64,
+    mask_size: int | None = None,
+    min_size: int = 800,
+    max_size: int = 1333,
+    seed: int = 0,
+    num_iterations: int | None = None,
+    shuffle: bool = True,
+):
+    """Infinite (or bounded) iterator of labeled train batches."""
+    rng = np.random.default_rng(seed)
+
+    def gen():
+        it = 0
+        while num_iterations is None or it < num_iterations:
+            order = rng.permutation(len(dataset)) if shuffle else np.arange(len(dataset))
+            for start in range(0, len(order) - batch_size + 1, batch_size):
+                samples = []
+                for idx in order[start : start + batch_size]:
+                    s = dataset[int(idx)]
+                    s = T.source_transform(s, rng, min_size, max_size)
+                    samples.append(pad_to_canvas(s, canvas, max_gt, mask_size))
+                yield _stack(samples)
+                it += 1
+                if num_iterations is not None and it >= num_iterations:
+                    return
+
+    return gen()
+
+
+def make_unlabeled_loader(
+    dataset,
+    batch_size: int,
+    canvas: int,
+    aug_k: int = 2,
+    aug_s: int = 1,
+    min_size: int = 800,
+    max_size: int = 1333,
+    seed: int = 1,
+):
+    """Infinite iterator of K-aug unlabeled batches:
+    {"t_images": [B, K, H, W, 3], "s_images": [B, S, H, W, 3],
+     "image_size": [B, 2]}."""
+    rng = np.random.default_rng(seed)
+    k_total = aug_k + aug_s
+
+    def gen():
+        while True:
+            order = rng.permutation(len(dataset))
+            for start in range(0, len(order) - batch_size + 1, batch_size):
+                t_views, s_views, sizes = [], [], []
+                for idx in order[start : start + batch_size]:
+                    img = dataset[int(idx)]
+                    views = T.unlabeled_transform({"image": img}, rng, k_total, min_size, max_size)
+                    h, w = views[0].shape[:2]
+                    padded = []
+                    for v in views:
+                        c = np.zeros((canvas, canvas, 3), np.float32)
+                        c[:h, :w] = v
+                        padded.append(c)
+                    t_views.append(np.stack(padded[:aug_k]))
+                    s_views.append(np.stack(padded[aug_k:]))
+                    sizes.append([h, w])
+                yield {
+                    "t_images": np.stack(t_views),
+                    "s_images": np.stack(s_views),
+                    "image_size": np.asarray(sizes, np.int32),
+                }
+
+    return gen()
+
+
+def make_test_loader(
+    dataset,
+    batch_size: int,
+    canvas: int,
+    max_gt: int = 64,
+    mask_size: int | None = None,
+    min_size: int = 800,
+    max_size: int = 1333,
+):
+    """Single-pass eval iterator (pads the final partial batch by
+    repeating the last sample; consumers filter via n_real)."""
+
+    def gen():
+        n = len(dataset)
+        for start in range(0, n, batch_size):
+            idxs = list(range(start, min(start + batch_size, n)))
+            n_real = len(idxs)
+            while len(idxs) < batch_size:
+                idxs.append(idxs[-1])
+            samples = []
+            for idx in idxs:
+                s = dataset[int(idx)]
+                s = T.test_transform(s, min_size, max_size)
+                samples.append(pad_to_canvas(s, canvas, max_gt, mask_size))
+            batch = _stack(samples)
+            batch["n_real"] = n_real
+            yield batch
+
+    return gen()

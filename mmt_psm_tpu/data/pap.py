@@ -1,0 +1,200 @@
+"""Pap cervical-cell dataset: sliding-window crops + GT filtering.
+
+Reimplements the reference pipeline (reference:
+maskrcnn_benchmark/data/datasets/Pap.py:105-866) over full-frame
+instance bitmasks instead of COCO polygon records:
+
+* whole-slide images are tiled by a sliding window (winSize 1000,
+  overlap 0.75 train / 0 eval — Pap.py:20-31, 47-53);
+* per-window GT filtering: instances are cropped to the window and
+  dropped when the in-window area falls below 0.005 of the full
+  instance area (filter_gt / _modify_out_of_roi_masks, Pap.py:312-359);
+* windows whose total GT bbox area is below 0.001 x winSize^2 are
+  removed for training (_remove_unsuitable_patches, Pap.py:361-383);
+* the unlabeled dataset yields K+1 color-augmented copies per patch
+  under one shared geometric transform (Pap.py:818-830).
+
+Slides are anything indexable as an RGB array: a numpy array, a path to
+an image file (PIL), or an OpenSlide handle (gated import — the
+reference reads WSIs through openslide, Pap.py:4,149).
+
+NOTE: the reference's image list is a user-supplied stub
+(Pap.py:40-44); pass slides/annotations explicitly or use
+``synthetic_slide_dataset`` for a self-contained setup.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence
+
+import numpy as np
+
+
+def generate_windows(h: int, w: int, win: int, overlap: float) -> List[tuple]:
+    """Sliding-window origins [(x, y), ...] covering an h x w frame
+    (the slidingwindow-package semantics used at Pap.py:47-53)."""
+    if h <= win and w <= win:
+        return [(0, 0)]
+    step = max(1, int(win * (1.0 - overlap)))
+
+    def starts(dim):
+        if dim <= win:
+            return [0]
+        s = list(range(0, dim - win + 1, step))
+        if s[-1] != dim - win:
+            s.append(dim - win)
+        return s
+
+    return [(x, y) for y in starts(h) for x in starts(w)]
+
+
+@dataclass
+class SlideAnnotations:
+    """Full-frame instances for one slide."""
+
+    boxes: np.ndarray  # f32 [M, 4] xyxy
+    labels: np.ndarray  # i32 [M]
+    masks: List[np.ndarray]  # M full-frame (or box-local+boxes) bool arrays
+
+
+def _read_region(slide, x, y, win):
+    """RGB u8 crop [win, win, 3] from ndarray / PIL path / OpenSlide."""
+    if isinstance(slide, np.ndarray):
+        h, w = slide.shape[:2]
+        out = np.zeros((win, win, 3), np.uint8)
+        crop = slide[y : min(y + win, h), x : min(x + win, w)]
+        out[: crop.shape[0], : crop.shape[1]] = crop[..., :3]
+        return out
+    if isinstance(slide, str):
+        from PIL import Image
+
+        img = np.asarray(Image.open(slide).convert("RGB"))
+        return _read_region(img, x, y, win)
+    # OpenSlide-like object
+    region = slide.read_region((x, y), 0, (win, win))
+    return np.asarray(region.convert("RGB"))
+
+
+def crop_window_gt(ann: SlideAnnotations, x: int, y: int, win: int, area_ratio_cutoff: float = 0.005):
+    """Crop instances to a window, dropping tiny remnants
+    (Pap.py:312-359). Returns (boxes, labels, masks) window-local."""
+    boxes, labels, masks = [], [], []
+    for i in range(len(ann.labels)):
+        bx = ann.boxes[i]
+        if bx[2] < x or bx[0] >= x + win or bx[3] < y or bx[1] >= y + win:
+            continue
+        m = ann.masks[i]
+        full_area = int(np.count_nonzero(m))
+        local = m[y : y + win, x : x + win]
+        if local.shape != (win, win):
+            pad = np.zeros((win, win), bool)
+            pad[: local.shape[0], : local.shape[1]] = local
+            local = pad
+        area = int(np.count_nonzero(local))
+        if full_area == 0 or area / full_area < area_ratio_cutoff or area < 4:
+            continue
+        ys, xs = np.nonzero(local)
+        boxes.append([xs.min(), ys.min(), xs.max(), ys.max()])
+        labels.append(int(ann.labels[i]))
+        masks.append(local)
+    if not boxes:
+        return np.zeros((0, 4), np.float32), np.zeros((0,), np.int32), []
+    return np.asarray(boxes, np.float32), np.asarray(labels, np.int32), masks
+
+
+class PapDataset:
+    """Labeled sliding-window dataset (train 'source' or eval mode)."""
+
+    def __init__(
+        self,
+        slides: Sequence,
+        annotations: Sequence[SlideAnnotations],
+        win_size: int = 1000,
+        overlap: float = 0.75,
+        is_train: bool = True,
+        min_patch_gt_area_ratio: float = 0.001,
+    ):
+        assert len(slides) == len(annotations)
+        self.slides = list(slides)
+        self.annotations = list(annotations)
+        self.win_size = win_size
+        self.index = []  # (slide_idx, x, y)
+        for si, (slide, ann) in enumerate(zip(self.slides, self.annotations)):
+            h, w = self._slide_hw(slide)
+            for (x, y) in generate_windows(h, w, win_size, overlap if is_train else 0.0):
+                if is_train:
+                    # _remove_unsuitable_patches (Pap.py:361-383)
+                    b = ann.boxes
+                    inter_w = np.minimum(b[:, 2], x + win_size) - np.maximum(b[:, 0], x)
+                    inter_h = np.minimum(b[:, 3], y + win_size) - np.maximum(b[:, 1], y)
+                    area = np.clip(inter_w, 0, None) * np.clip(inter_h, 0, None)
+                    if area.sum() <= min_patch_gt_area_ratio * win_size**2:
+                        continue
+                self.index.append((si, x, y))
+
+    @staticmethod
+    def _slide_hw(slide):
+        if isinstance(slide, np.ndarray):
+            return slide.shape[:2]
+        if isinstance(slide, str):
+            from PIL import Image
+
+            with Image.open(slide) as im:
+                return im.height, im.width
+        w, h = slide.dimensions
+        return h, w
+
+    def __len__(self):
+        return len(self.index)
+
+    def __getitem__(self, i) -> dict:
+        si, x, y = self.index[i]
+        img = _read_region(self.slides[si], x, y, self.win_size)
+        boxes, labels, masks = crop_window_gt(self.annotations[si], x, y, self.win_size)
+        return {
+            "image": img,
+            "boxes": boxes,
+            "labels": labels,
+            "masks": np.stack(masks).astype(np.uint8) if masks else np.zeros((0, self.win_size, self.win_size), np.uint8),
+        }
+
+
+class PapUnlabeledDataset:
+    """Loose unlabeled patches (reference PapNucleiUnlabelDataset,
+    Pap.py:762-866): each item is one RGB patch; augmentation into K+1
+    views happens in the loader."""
+
+    def __init__(self, patches: Sequence):
+        self.patches = list(patches)
+
+    def __len__(self):
+        return len(self.patches)
+
+    def __getitem__(self, i) -> np.ndarray:
+        p = self.patches[i]
+        if isinstance(p, np.ndarray):
+            return p[..., :3]
+        from PIL import Image
+
+        return np.asarray(Image.open(p).convert("RGB"))
+
+
+def synthetic_slide_dataset(seed: int = 0, num_slides: int = 2, slide_size: int = 512, win_size: int = 256, overlap: float = 0.5, is_train: bool = True):
+    """Self-contained PapDataset over synthetic overlapping-cell slides."""
+    from .synthetic import generate_sample
+
+    rng = np.random.default_rng(seed)
+    slides, anns = [], []
+    for _ in range(num_slides):
+        s = generate_sample(rng, image_size=slide_size, max_instances=128, num_cells=(8, 16))
+        n = int(s.valid.sum())
+        slides.append(s.image.astype(np.uint8))
+        anns.append(
+            SlideAnnotations(
+                boxes=s.boxes[:n],
+                labels=s.labels[:n],
+                masks=[s.masks[i].astype(bool) for i in range(n)],
+            )
+        )
+    return PapDataset(slides, anns, win_size=win_size, overlap=overlap, is_train=is_train)

@@ -1,0 +1,113 @@
+import numpy as np
+
+from mmt_psm_tpu.data import transforms as T
+from mmt_psm_tpu.data.loader import make_source_loader, make_test_loader, make_unlabeled_loader, pad_to_canvas
+from mmt_psm_tpu.data.pap import (
+    PapUnlabeledDataset,
+    crop_window_gt,
+    generate_windows,
+    SlideAnnotations,
+    synthetic_slide_dataset,
+)
+
+
+def test_generate_windows_cover_and_overlap():
+    ws = generate_windows(1000, 1000, 1000, 0.75)
+    assert ws == [(0, 0)]
+    ws = generate_windows(2000, 1500, 1000, 0.75)
+    xs = sorted({x for x, y in ws})
+    ys = sorted({y for x, y in ws})
+    assert xs[0] == 0 and xs[-1] == 500  # clamped last window
+    assert ys[0] == 0 and ys[-1] == 1000
+    assert xs[1] == 250  # step = win * (1 - overlap)
+    # eval mode: no overlap
+    ws0 = generate_windows(2000, 2000, 1000, 0.0)
+    assert ws0 == [(0, 0), (1000, 0), (0, 1000), (1000, 1000)]
+
+
+def test_crop_window_gt_filters_tiny_remnants():
+    m1 = np.zeros((200, 200), bool)
+    m1[40:80, 40:80] = True  # fully inside window (0,0,100)
+    m2 = np.zeros((200, 200), bool)
+    m2[90:190, 90:190] = True  # only a sliver inside
+    ann = SlideAnnotations(
+        boxes=np.array([[40, 40, 79, 79], [90, 90, 189, 189]], np.float32),
+        labels=np.array([1, 2], np.int32),
+        masks=[m1, m2],
+    )
+    boxes, labels, masks = crop_window_gt(ann, 0, 0, 100)
+    assert len(labels) == 2  # sliver is 100/10000 = 1% > 0.5% cutoff
+    boxes, labels, masks = crop_window_gt(ann, 0, 0, 95)
+    # now the sliver is 25/10000 < 0.005 -> dropped
+    assert list(labels) == [1]
+
+
+def test_resize_square_fast_path_and_boxes():
+    img = np.zeros((100, 100, 3), np.uint8)
+    s = {"image": img, "boxes": np.array([[10, 20, 30, 40]], np.float32), "labels": np.array([1]), "masks": np.zeros((1, 100, 100), np.uint8)}
+    out = T.resize_sample(s, 80, 1333)
+    assert out["image"].shape == (80, 80, 3)
+    np.testing.assert_allclose(out["boxes"], [[8, 16, 24, 32]])
+
+
+def test_hflip_involution():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (40, 60, 3)).astype(np.uint8)
+    s = {"image": img, "boxes": np.array([[5, 5, 20, 20]], np.float32), "labels": np.array([1]), "masks": rng.integers(0, 2, (1, 40, 60)).astype(np.uint8)}
+    out = T.hflip_sample(T.hflip_sample(s))
+    np.testing.assert_array_equal(out["image"], img)
+    np.testing.assert_allclose(out["boxes"], s["boxes"])
+    np.testing.assert_array_equal(out["masks"], s["masks"])
+
+
+def test_color_ops_ranges():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    for fn, arg in [
+        (T.adjust_brightness, 1.15),
+        (T.adjust_contrast, 0.85),
+        (T.adjust_hue, 0.05),
+        (T.adjust_saturation, 1.2),
+        (T.adjust_gamma, 1.1),
+    ]:
+        out = fn(img, arg)
+        assert out.dtype == np.uint8 and out.shape == img.shape
+    # hue shift by 0 is identity (up to rounding)
+    np.testing.assert_allclose(T.adjust_hue(img, 0.0), img, atol=2)
+
+
+def test_source_loader_shapes():
+    ds = synthetic_slide_dataset(seed=0, num_slides=1, slide_size=256, win_size=128, overlap=0.5)
+    assert len(ds) > 0
+    loader = make_source_loader(ds, batch_size=2, canvas=128, max_gt=32, min_size=128, num_iterations=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["image"].shape == (2, 128, 128, 3)
+    assert b["boxes"].shape == (2, 32, 4)
+    assert b["masks"].shape == (2, 32, 128, 128)
+    assert b["gt_valid"].any()
+    # masks only where valid
+    assert (b["masks"][~b["gt_valid"]] == 0).all()
+
+
+def test_unlabeled_loader_kaug():
+    rng = np.random.default_rng(2)
+    patches = [rng.integers(0, 255, (100, 100, 3)).astype(np.uint8) for _ in range(4)]
+    ds = PapUnlabeledDataset(patches)
+    loader = make_unlabeled_loader(ds, batch_size=2, canvas=96, aug_k=2, aug_s=1, min_size=96)
+    b = next(iter(loader))
+    assert b["t_images"].shape == (2, 2, 96, 96, 3)
+    assert b["s_images"].shape == (2, 1, 96, 96, 3)
+    # views differ (color jitter) but share geometry
+    assert np.abs(b["t_images"][0, 0] - b["t_images"][0, 1]).max() > 0
+
+
+def test_test_loader_partial_batch():
+    ds = synthetic_slide_dataset(seed=1, num_slides=1, slide_size=256, win_size=128, overlap=0.0, is_train=False)
+    loader = make_test_loader(ds, batch_size=3, canvas=128, min_size=128)
+    batches = list(loader)
+    total = sum(b["n_real"] for b in batches)
+    assert total == len(ds)
+    for b in batches:
+        assert b["image"].shape[0] == 3
