@@ -1,0 +1,116 @@
+// Native eval kernels: pairwise mask intersection/union and RLE codecs.
+//
+// TPU-native replacement for the reference's patched pycocotools C layer
+// (reference: pycoco/maskApi.c:239-260 rleIouInterUnion via
+// pycoco/_mask.pyx:318-397): the AJI/DSC metrics need raw
+// intersection/union counts per (dt, gt) pair. Masks arrive box-cropped
+// (bbox + row-major local u8 mask) so each pair costs O(overlap window)
+// instead of O(image); the inner AND-accumulate vectorizes under -O3.
+//
+// Exposed C ABI (ctypes):
+//   pair_intersections(...)   -> int64 inter[D*G]
+//   mask_areas(...)           -> int64 area[N]
+//   rle_encode / rle_decode   -> column-major (Fortran) RLE, pycocotools
+//                                semantics (counts start with zeros run).
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Areas of N box-cropped masks.
+// boxes: int64 [N,4] xyxy inclusive; data: concatenated row-major u8
+// masks; offsets: int64 [N] start of each mask in data.
+void mask_areas(const uint8_t* data, const int64_t* offsets,
+                const int64_t* boxes, int64_t n, int64_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t w = boxes[4 * i + 2] - boxes[4 * i + 0] + 1;
+    const int64_t h = boxes[4 * i + 3] - boxes[4 * i + 1] + 1;
+    const uint8_t* m = data + offsets[i];
+    int64_t acc = 0;
+    const int64_t sz = w * h;
+    for (int64_t k = 0; k < sz; ++k) acc += m[k];
+    out[i] = acc;
+  }
+}
+
+// Pairwise intersections between D dt masks and G gt masks.
+// dt/gt masks are box-cropped row-major u8 arrays.
+void pair_intersections(const uint8_t* dt_data, const int64_t* dt_off,
+                        const int64_t* dt_boxes, int64_t d,
+                        const uint8_t* gt_data, const int64_t* gt_off,
+                        const int64_t* gt_boxes, int64_t g,
+                        int64_t* out /* [d*g] */) {
+  for (int64_t i = 0; i < d; ++i) {
+    const int64_t ax1 = dt_boxes[4 * i], ay1 = dt_boxes[4 * i + 1];
+    const int64_t ax2 = dt_boxes[4 * i + 2], ay2 = dt_boxes[4 * i + 3];
+    const int64_t aw = ax2 - ax1 + 1;
+    const uint8_t* am = dt_data + dt_off[i];
+    for (int64_t j = 0; j < g; ++j) {
+      const int64_t bx1 = gt_boxes[4 * j], by1 = gt_boxes[4 * j + 1];
+      const int64_t bx2 = gt_boxes[4 * j + 2], by2 = gt_boxes[4 * j + 3];
+      const int64_t x1 = ax1 > bx1 ? ax1 : bx1;
+      const int64_t y1 = ay1 > by1 ? ay1 : by1;
+      const int64_t x2 = ax2 < bx2 ? ax2 : bx2;
+      const int64_t y2 = ay2 < by2 ? ay2 : by2;
+      if (x2 < x1 || y2 < y1) {
+        out[i * g + j] = 0;
+        continue;
+      }
+      const int64_t bw = bx2 - bx1 + 1;
+      const uint8_t* bm = gt_data + gt_off[j];
+      const int64_t ww = x2 - x1 + 1;
+      int64_t acc = 0;
+      for (int64_t y = y1; y <= y2; ++y) {
+        const uint8_t* ra = am + (y - ay1) * aw + (x1 - ax1);
+        const uint8_t* rb = bm + (y - by1) * bw + (x1 - bx1);
+        for (int64_t x = 0; x < ww; ++x) acc += ra[x] & rb[x];
+      }
+      out[i * g + j] = acc;
+    }
+  }
+}
+
+// Column-major RLE encode (pycocotools semantics: counts alternate
+// zero-run / one-run starting with zeros). mask: u8 [h*w] ROW-major of
+// an h x w frame; caller passes the transpose flag work by iterating
+// column-major here. Returns number of counts written (<= h*w + 1).
+int64_t rle_encode(const uint8_t* mask, int64_t h, int64_t w,
+                   int64_t* counts /* capacity h*w+1 */) {
+  int64_t n = 0;
+  uint8_t prev = 0;
+  int64_t run = 0;
+  for (int64_t x = 0; x < w; ++x) {
+    for (int64_t y = 0; y < h; ++y) {
+      const uint8_t v = mask[y * w + x] != 0;
+      if (v == prev) {
+        ++run;
+      } else {
+        counts[n++] = run;
+        prev = v;
+        run = 1;
+      }
+    }
+  }
+  counts[n++] = run;
+  return n;
+}
+
+// Column-major RLE decode into a row-major u8 [h*w] buffer.
+void rle_decode(const int64_t* counts, int64_t n_counts, int64_t h,
+                int64_t w, uint8_t* out) {
+  std::memset(out, 0, (size_t)(h * w));
+  int64_t pos = 0;
+  uint8_t v = 0;
+  for (int64_t c = 0; c < n_counts; ++c) {
+    for (int64_t k = 0; k < counts[c]; ++k) {
+      const int64_t y = pos % h;
+      const int64_t x = pos / h;
+      if (v) out[y * w + x] = 1;
+      ++pos;
+    }
+    v = !v;
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,126 @@
+"""ctypes bindings for the C++ eval kernels (csrc/papeval.cpp).
+
+Compiled on demand with g++ (cached next to the source); every entry
+point has a numpy fallback so the eval stack works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _build_and_load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    src = os.path.join(root, "csrc", "papeval.cpp")
+    so = os.path.join(root, "csrc", "libpapeval.so")
+    try:
+        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", so, src],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(so)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.pair_intersections.argtypes = [u8p, i64p, i64p, ctypes.c_int64] * 2 + [i64p]
+        lib.pair_intersections.restype = None
+        lib.mask_areas.argtypes = [u8p, i64p, i64p, ctypes.c_int64, i64p]
+        lib.mask_areas.restype = None
+        lib.rle_encode.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64, i64p]
+        lib.rle_encode.restype = ctypes.c_int64
+        lib.rle_decode.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u8p]
+        lib.rle_decode.restype = None
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _build_and_load() is not None
+
+
+def _pack(masks, boxes):
+    """Concatenate row-major u8 box-cropped masks + offsets."""
+    offsets = np.zeros(len(masks), np.int64)
+    total = 0
+    for i, m in enumerate(masks):
+        offsets[i] = total
+        total += m.size
+    data = np.empty(total, np.uint8)
+    for i, m in enumerate(masks):
+        data[offsets[i] : offsets[i] + m.size] = np.ascontiguousarray(m, np.uint8).ravel()
+    return data, offsets, np.ascontiguousarray(boxes, np.int64)
+
+
+def pair_intersections(dt_masks, dt_boxes, gt_masks, gt_boxes) -> np.ndarray:
+    """[D, G] int64 intersection counts (native path)."""
+    lib = _build_and_load()
+    assert lib is not None
+    d, g = len(dt_masks), len(gt_masks)
+    out = np.zeros((d, g), np.int64)
+    if d == 0 or g == 0:
+        return out
+    ddata, doff, dbox = _pack(dt_masks, dt_boxes)
+    gdata, goff, gbox = _pack(gt_masks, gt_boxes)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.pair_intersections(
+        ddata.ctypes.data_as(u8p), doff.ctypes.data_as(i64p), dbox.ctypes.data_as(i64p), d,
+        gdata.ctypes.data_as(u8p), goff.ctypes.data_as(i64p), gbox.ctypes.data_as(i64p), g,
+        out.ctypes.data_as(i64p),
+    )
+    return out
+
+
+def rle_encode(mask: np.ndarray) -> np.ndarray:
+    """Column-major RLE counts (pycocotools semantics) for an [H, W] mask."""
+    lib = _build_and_load()
+    h, w = mask.shape
+    m = np.ascontiguousarray(mask != 0, np.uint8)
+    if lib is None:
+        flat = m.T.ravel()  # column-major scan
+        edges = np.flatnonzero(np.diff(flat)) + 1
+        runs = np.diff(np.concatenate([[0], edges, [flat.size]]))
+        if flat.size and flat[0] == 1:
+            runs = np.concatenate([[0], runs])
+        return runs.astype(np.int64)
+    counts = np.empty(h * w + 1, np.int64)
+    n = lib.rle_encode(
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return counts[:n].copy()
+
+
+def rle_decode(counts: np.ndarray, h: int, w: int) -> np.ndarray:
+    lib = _build_and_load()
+    counts = np.ascontiguousarray(counts, np.int64)
+    if lib is None:
+        flat = np.zeros(h * w, np.uint8)
+        pos = 0
+        v = 0
+        for c in counts:
+            if v:
+                flat[pos : pos + c] = 1
+            pos += int(c)
+            v ^= 1
+        return flat.reshape(w, h).T.copy()
+    out = np.empty((h, w), np.uint8)
+    lib.rle_decode(
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(counts), h, w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out

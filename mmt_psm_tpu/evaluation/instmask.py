@@ -85,13 +85,19 @@ def iou_int_uni(dt: InstSeg, gt: InstSeg):
     """(iou, intersection, union) matrices [D, G], float64.
 
     Same contract as the reference's maskUtils.iouIntUni
-    (pycoco/_mask.pyx:318-397) for non-crowd gt.
+    (pycoco/_mask.pyx:318-397) for non-crowd gt. Uses the C++ kernel
+    (csrc/papeval.cpp) when the toolchain is available, else numpy.
     """
     d, g = len(dt), len(gt)
-    inter = np.zeros((d, g), np.float64)
-    for i in range(d):
-        for j in range(g):
-            inter[i, j] = _pair_intersection(dt.boxes[i], dt.masks[i], gt.boxes[j], gt.masks[j])
+    from . import _native
+
+    if d and g and _native.available():
+        inter = _native.pair_intersections(dt.masks, dt.boxes, gt.masks, gt.boxes).astype(np.float64)
+    else:
+        inter = np.zeros((d, g), np.float64)
+        for i in range(d):
+            for j in range(g):
+                inter[i, j] = _pair_intersection(dt.boxes[i], dt.masks[i], gt.boxes[j], gt.masks[j])
     union = dt.areas[:, None] + gt.areas[None, :] - inter
     iou = np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
     return iou, inter, union

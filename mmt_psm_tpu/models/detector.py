@@ -116,7 +116,10 @@ class ModelConfig:
             reg_weights=tuple(cfg.MODEL.ROI_HEADS.BBOX_REG_WEIGHTS),
             pooler_scales=tuple(cfg.MODEL.ROI_BOX_HEAD.POOLER_SCALES),
             box_pooler_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
-            box_pooler_sampling=cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO,
+            # the reference's sampling_ratio=0 means "adaptive per-roi grid"
+            # (ROIAlign_cuda.cu:100-104) — data-dependent, so unsupported
+            # under jit; fall back to the pap configs' static 2
+            box_pooler_sampling=cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO or 2,
             mlp_dim=cfg.MODEL.ROI_BOX_HEAD.MLP_HEAD_DIM,
             box_head_dropout=cfg.MODEL.ROI_BOX_HEAD.DO,
             score_thresh=cfg.MODEL.ROI_HEADS.SCORE_THRESH,
@@ -124,7 +127,7 @@ class ModelConfig:
             detections_per_img=cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG,
             mask_on=cfg.MODEL.MASK_ON,
             mask_pooler_resolution=cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
-            mask_pooler_sampling=cfg.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO,
+            mask_pooler_sampling=cfg.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO or 2,
             mask_resolution=cfg.MODEL.ROI_MASK_HEAD.RESOLUTION,
             backbone_out_channels=cfg.MODEL.BACKBONE.OUT_CHANNELS,
             freeze_at=cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT,

@@ -1,0 +1,115 @@
+"""Mean-teacher training entry point.
+
+CLI parity with the reference (reference:
+tools/train_mean_teacher.py:104-204): a YAML config plus yacs-style
+``KEY VALUE`` overrides; builds student (+EMA teacher), data loaders,
+and runs the MTTrainer. Without real pap data on disk, pass
+``--synthetic`` for a self-contained run on generated slides.
+
+Usage:
+  python tools/train_mean_teacher.py --config-file configs/pap/e2e_mask_rcnn_R_50_FPN_1x.yaml \
+      --synthetic MT.LAMBDA 5. SOLVER.MAX_ITER 200 [...]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser(description="TPU mean-teacher training")
+    parser.add_argument("--config-file", default="", type=str)
+    parser.add_argument("--synthetic", action="store_true", help="train on synthetic slides")
+    parser.add_argument("--weights", default="", type=str, help="torch .pth init (transfer mode)")
+    parser.add_argument("--output-dir", default="runs/mt", type=str)
+    parser.add_argument("opts", nargs=argparse.REMAINDER)
+    args = parser.parse_args()
+
+    from mmt_psm_tpu.config import get_cfg
+    from mmt_psm_tpu.data.loader import make_source_loader, make_unlabeled_loader
+    from mmt_psm_tpu.data.pap import PapUnlabeledDataset, synthetic_slide_dataset
+    from mmt_psm_tpu.engine.trainer import MTTrainer
+    from mmt_psm_tpu.models import MaskRCNN, ModelConfig
+    from mmt_psm_tpu.models.mask_relation import MaskRelationConfig
+    from mmt_psm_tpu.models.relation import RelationNMSConfig
+    from mmt_psm_tpu.train.supervised import batch_to_gt
+
+    cfg = get_cfg()
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    cfg.freeze()
+
+    mcfg = ModelConfig.from_cfg(cfg)
+    mcfg = __import__("dataclasses").replace(
+        mcfg,
+        with_hint_adaptor=cfg.MT.FG_HINT > 0,
+        with_relation_nms=cfg.MODEL.RELATION_NMS.USE_RELATION_NMS,
+        relation=RelationNMSConfig.from_cfg(cfg) if cfg.MODEL.RELATION_NMS.USE_RELATION_NMS else None,
+        with_relation_mask=cfg.MODEL.RELATION_MASK.USE_RELATION,
+        relation_mask=MaskRelationConfig.from_cfg(cfg) if cfg.MODEL.RELATION_MASK.USE_RELATION else None,
+    )
+    model = MaskRCNN(config=mcfg)
+
+    canvas = mcfg.image_size
+    if args.synthetic:
+        win = min(canvas, 256)
+        source_ds = synthetic_slide_dataset(seed=0, num_slides=4, slide_size=2 * win, win_size=win, overlap=0.5)
+        rng = np.random.default_rng(1)
+        patches = [
+            synthetic_slide_dataset(seed=10 + i, num_slides=1, slide_size=win, win_size=win).slides[0]
+            for i in range(8)
+        ]
+        unlabeled_ds = PapUnlabeledDataset(patches)
+        min_size = win
+    else:
+        raise SystemExit(
+            "Real pap data loading requires slide paths + annotations; "
+            "see mmt_psm_tpu/data/pap.py (the reference's image list is "
+            "likewise a user-supplied stub, Pap.py:40-44). Use --synthetic."
+        )
+
+    src_loader = make_source_loader(
+        source_ds, cfg.SOLVER.IMS_PER_BATCH, canvas, max_gt=cfg.TPU.MAX_GT, min_size=min_size
+    )
+    unl_loader = (
+        make_unlabeled_loader(
+            unlabeled_ds, cfg.SOLVER.IMS_PER_BATCH, canvas,
+            aug_k=cfg.MT.AUG_K, aug_s=cfg.MT.AUG_S, min_size=min_size,
+        )
+        if cfg.DATASETS.NO_LABEL
+        else None
+    )
+
+    first = next(src_loader)
+    import jax.numpy as jnp
+
+    batch0 = {k: jnp.asarray(v) for k, v in first.items()}
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        batch0["image"], batch0["image_size"], batch_to_gt(batch0), method=model.init_all,
+    )["params"]
+
+    if args.weights:
+        from mmt_psm_tpu.utils.torch_import import load_torch_checkpoint
+
+        params, report = load_torch_checkpoint(args.weights, params, transfer=True)
+        print(f"loaded {len(report['loaded'])} tensors from {args.weights}; "
+              f"missing {len(report['missing'])}, mismatched {len(report['mismatched'])}")
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "config.yaml"), "w") as f:
+        f.write(cfg.dump())
+
+    trainer = MTTrainer(model, params, cfg, src_loader, unl_loader, output_dir=args.output_dir)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()
