@@ -119,15 +119,25 @@ def subsample_proposals(
     return SampledRoIs(*out)
 
 
-def pool_boxes_batched(features, boxes, scales, resolution, sampling_ratio):
+def pool_boxes_batched(features, boxes, scales, resolution, sampling_ratio, impl: str = "windowed"):
     """Multi-level pooling for batched per-image box sets.
 
     features: per-level [B, H, W, C]; boxes: [B, S, 4]. Returns
-    [B, S, P, P, C].
+    [B, S, P, P, C]. impl: "windowed" (fast path, ops/
+    roi_align_windowed.py) or "gather" (exact full-map contraction).
     """
+    if impl == "windowed":
+        from ..ops.roi_align_windowed import multilevel_roi_align_windowed
 
-    def pool_one(img_feats, img_boxes):
-        return multilevel_roi_align(list(img_feats), img_boxes, scales, resolution, sampling_ratio)
+        def pool_one(img_feats, img_boxes):
+            return multilevel_roi_align_windowed(
+                tuple(img_feats), img_boxes, tuple(scales), resolution, sampling_ratio
+            )
+
+    else:
+
+        def pool_one(img_feats, img_boxes):
+            return multilevel_roi_align(list(img_feats), img_boxes, scales, resolution, sampling_ratio)
 
     return jax.vmap(pool_one, in_axes=(0, 0))(tuple(features), boxes)
 

@@ -77,6 +77,9 @@ class ModelConfig:
     backbone_out_channels: int = 256
     freeze_at: int = 2
     compute_dtype: str = "bfloat16"
+    # "windowed" (fast crop+einsum, ops/roi_align_windowed.py) or
+    # "gather" (exact full-map contraction)
+    roi_align_impl: str = "windowed"
     # mean-teacher hint adaptor (MGD): 1x1 conv per FPN level
     # (reference roi_box_feature_extractors.py:45-75, MT.T_ADAPT)
     with_hint_adaptor: bool = False
@@ -132,6 +135,7 @@ class ModelConfig:
             backbone_out_channels=cfg.MODEL.BACKBONE.OUT_CHANNELS,
             freeze_at=cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT,
             compute_dtype=cfg.TPU.COMPUTE_DTYPE,
+            roi_align_impl=cfg.TPU.ROI_ALIGN_IMPL,
         )
 
 
@@ -188,7 +192,8 @@ class MaskRCNN(nn.Module):
     def _box_forward(self, features, boxes, deterministic: bool):
         c = self.config
         pooled = BH.pool_boxes_batched(
-            features, boxes, c.pooler_scales, c.box_pooler_resolution, c.box_pooler_sampling
+            features, boxes, c.pooler_scales, c.box_pooler_resolution, c.box_pooler_sampling,
+            impl=c.roi_align_impl,
         )
         b, s = pooled.shape[:2]
         flat = pooled.reshape(b * s, *pooled.shape[2:])
@@ -199,7 +204,8 @@ class MaskRCNN(nn.Module):
     def _mask_forward(self, features, boxes):
         c = self.config
         pooled = BH.pool_boxes_batched(
-            features, boxes, c.pooler_scales, c.mask_pooler_resolution, c.mask_pooler_sampling
+            features, boxes, c.pooler_scales, c.mask_pooler_resolution, c.mask_pooler_sampling,
+            impl=c.roi_align_impl,
         )
         b, s = pooled.shape[:2]
         flat = pooled.reshape(b * s, *pooled.shape[2:])
