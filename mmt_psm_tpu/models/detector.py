@@ -77,9 +77,10 @@ class ModelConfig:
     backbone_out_channels: int = 256
     freeze_at: int = 2
     compute_dtype: str = "bfloat16"
-    # "windowed" (fast crop+einsum, ops/roi_align_windowed.py) or
-    # "gather" (exact full-map contraction)
-    roi_align_impl: str = "windowed"
+    # "gather" (exact full-map contraction, best measured on-TPU perf:
+    # dense einsums ride the MXU) or "windowed" (crop+einsum; fewer FLOPs
+    # but per-RoI gathers lower poorly on TPU — kept for future tuning)
+    roi_align_impl: str = "gather"
     # mean-teacher hint adaptor (MGD): 1x1 conv per FPN level
     # (reference roi_box_feature_extractors.py:45-75, MT.T_ADAPT)
     with_hint_adaptor: bool = False
