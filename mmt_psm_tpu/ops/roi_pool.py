@@ -30,19 +30,23 @@ def _roi_pool_one(feat, roi, spatial_scale, pooled: int):
     y1 = _round_half_away(roi[1] * spatial_scale)
     x2 = _round_half_away(roi[2] * spatial_scale)
     y2 = _round_half_away(roi[3] * spatial_scale)
-    roi_w = jnp.maximum(x2 - x1 + 1, 1.0)
-    roi_h = jnp.maximum(y2 - y1 + 1, 1.0)
-    bin_h = roi_h / pooled
-    bin_w = roi_w / pooled
+    # rounded coords are integers, so bin boundaries floor(p*L/P) /
+    # ceil(p*L/P) are computed in exact integer arithmetic — float
+    # division here is not XLA-stable (x/P may lower to x*(1/P), which
+    # flips ceil() on exact bin edges)
+    x1i = x1.astype(jnp.int32)
+    y1i = y1.astype(jnp.int32)
+    roi_w = jnp.maximum((x2 - x1 + 1).astype(jnp.int32), 1)
+    roi_h = jnp.maximum((y2 - y1 + 1).astype(jnp.int32), 1)
 
-    ys = jnp.arange(h, dtype=jnp.float32)
-    xs = jnp.arange(w, dtype=jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.int32)
+    xs = jnp.arange(w, dtype=jnp.int32)
 
     rows = []
     neg = jnp.asarray(-jnp.inf, feat.dtype)
     for ph in range(pooled):
-        hstart = jnp.clip(jnp.floor(ph * bin_h) + y1, 0, h)
-        hend = jnp.clip(jnp.ceil((ph + 1) * bin_h) + y1, 0, h)
+        hstart = jnp.clip((ph * roi_h) // pooled + y1i, 0, h)
+        hend = jnp.clip(-((-(ph + 1) * roi_h) // pooled) + y1i, 0, h)
         row_mask = (ys >= hstart) & (ys < hend)  # [H]
         masked = jnp.where(row_mask[:, None, None], feat, neg)
         rows.append(jnp.max(masked, axis=0))  # [W, C]
@@ -50,8 +54,8 @@ def _roi_pool_one(feat, roi, spatial_scale, pooled: int):
 
     out = []
     for pw in range(pooled):
-        wstart = jnp.clip(jnp.floor(pw * bin_w) + x1, 0, w)
-        wend = jnp.clip(jnp.ceil((pw + 1) * bin_w) + x1, 0, w)
+        wstart = jnp.clip((pw * roi_w) // pooled + x1i, 0, w)
+        wend = jnp.clip(-((-(pw + 1) * roi_w) // pooled) + x1i, 0, w)
         col_mask = (xs >= wstart) & (xs < wend)
         masked = jnp.where(col_mask[None, :, None], row_stack, neg)
         out.append(jnp.max(masked, axis=1))  # [P, C]
