@@ -32,7 +32,8 @@ def main():
     sizes = jnp.asarray(np.full((batch_size, 2), 1000, np.int32))  # true patch size
 
     init_rngs = {"params": jax.random.PRNGKey(0)}
-    params = model.init(init_rngs, images[:1], sizes[:1], train=False)
+    init_fn = jax.jit(lambda r, im, sz: model.init(r, im, sz, train=False))
+    params = init_fn(init_rngs, images[:1], sizes[:1])
 
     @jax.jit
     def infer(params, images, sizes):

@@ -32,7 +32,8 @@ def main():
     b = generate_batch(0, bsz, image_size=1024, max_instances=64)
     images = jnp.asarray(normalize_image(b["image"]))
     sizes = jnp.asarray(np.full((bsz, 2), 1000, np.int32))
-    params = model.init({"params": jax.random.PRNGKey(0)}, images[:1], sizes[:1], train=False)
+    params = jax.jit(lambda r, im, sz: model.init(r, im, sz, train=False))(
+        {"params": jax.random.PRNGKey(0)}, images[:1], sizes[:1])
 
     feats_fn = jax.jit(lambda p, x: model.apply(p, x, method=model.backbone_features))
     feats = timeit(feats_fn, params, images, name="backbone+fpn")

@@ -91,9 +91,12 @@ def main():
     import jax.numpy as jnp
 
     batch0 = {k: jnp.asarray(v) for k, v in first.items()}
-    params = model.init(
+    # jit the init: eager init dispatches tens of thousands of tiny ops,
+    # which is pathological over a remote-TPU tunnel
+    init_fn = jax.jit(lambda rngs, img, sz, gt: model.init(rngs, img, sz, gt, method=model.init_all))
+    params = init_fn(
         {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
-        batch0["image"], batch0["image_size"], batch_to_gt(batch0), method=model.init_all,
+        batch0["image"], batch0["image_size"], batch_to_gt(batch0),
     )["params"]
 
     if args.weights:
