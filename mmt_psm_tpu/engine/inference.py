@@ -112,8 +112,8 @@ def run_inference(model, params, batches, categories=(1, 2), max_dets: int = 200
     n_images = 0
     t0 = time.perf_counter()
     for batch in batches:
-        boxes, scores, labels, valid, masks = jax.tree_util.tree_map(
-            np.asarray, infer(params, batch["image"], batch["image_size"])
+        boxes, scores, labels, valid, masks = jax.device_get(
+            infer(params, batch["image"], batch["image_size"])
         )
         for i in range(boxes.shape[0]):
             dt = detections_to_instseg(

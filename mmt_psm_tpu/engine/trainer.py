@@ -76,6 +76,7 @@ class MTTrainer:
             else:
                 self.state, metrics = self._sup_step(self.state, batch, self.rng)
 
+            metrics = jax.device_get(metrics)  # one host transfer, not one per scalar
             batch_time = time.time() - end
             end = time.time()
             self.meters.update(time=batch_time, **{k: float(v) for k, v in metrics.items()})
