@@ -243,15 +243,20 @@ def unlabeled_losses(model, student_params, teacher_params, batch, rng, mt: MTCo
     tvars = {"params": teacher_params}
     svars = {"params": student_params}
 
+    use_mgd = mt.fg_hint > 0 and model.config.with_hint_adaptor
+    use_psm = mt.cls_loss_weight > 0
+
     # ---- teacher (no grad) ---------------------------------------------
     dets = model.apply(tvars, t_images[:, 0], sizes, train=False)
     dets = jax.lax.stop_gradient(dets)
     pseudo = GroundTruth(boxes=dets.boxes, labels=dets.labels, valid=dets.valid)
 
-    canvas_size = c.image_size // mt.mgd_canvas_stride
-    integral = jax.vmap(
-        lambda m, b, v: paste_integral(m, b, v, canvas_size, float(mt.mgd_canvas_stride))
-    )(dets.masks, dets.boxes, dets.valid)  # [B, Hc, Wc]
+    integral = None
+    if use_mgd:
+        canvas_size = c.image_size // mt.mgd_canvas_stride
+        integral = jax.vmap(
+            lambda m, b, v: paste_integral(m, b, v, canvas_size, float(mt.mgd_canvas_stride))
+        )(dets.masks, dets.boxes, dets.valid)  # [B, Hc, Wc]
 
     # 2K teacher feature pyramids: each aug view and its flip
     t_feats = []
@@ -259,7 +264,9 @@ def unlabeled_losses(model, student_params, teacher_params, batch, rng, mt: MTCo
         img = t_images[:, k]
         t_feats.append(model.apply(tvars, img, method=model.backbone_features))
         t_feats.append(model.apply(tvars, hflip_image(img), method=model.backbone_features))
-    t_embs = [model.apply(tvars, f, method=model.hint_embeddings) for f in t_feats]
+    t_embs = (
+        [model.apply(tvars, f, method=model.hint_embeddings) for f in t_feats] if use_mgd else None
+    )
 
     # proposals from view-0 features against pseudo gt, then subsample
     proposals = model.apply(
@@ -282,12 +289,14 @@ def unlabeled_losses(model, student_params, teacher_params, batch, rng, mt: MTCo
     flipped_boxes = hflip_boxes(rois_boxes, c.image_size)
 
     t_logits = []
-    for vi, f in enumerate(t_feats):
-        boxes_v = flipped_boxes if vi % 2 == 1 else rois_boxes
-        logits = model.apply(tvars, f, boxes_v, True, method=model.box_predictions)[0]
-        t_logits.append(logits)
-    t_logits = jax.lax.stop_gradient(t_logits)
-    t_embs = jax.lax.stop_gradient(t_embs)
+    if use_psm:
+        for vi, f in enumerate(t_feats):
+            boxes_v = flipped_boxes if vi % 2 == 1 else rois_boxes
+            logits = model.apply(tvars, f, boxes_v, True, method=model.box_predictions)[0]
+            t_logits.append(logits)
+        t_logits = jax.lax.stop_gradient(t_logits)
+    if use_mgd:
+        t_embs = jax.lax.stop_gradient(t_embs)
 
     # ---- student (grad) -------------------------------------------------
     n_s = s_images.shape[1]
@@ -298,20 +307,22 @@ def unlabeled_losses(model, student_params, teacher_params, batch, rng, mt: MTCo
             img = hflip_image(img)
         f = model.apply(svars, img, method=model.backbone_features)
         s_feats.append(f)
-        s_embs.append(model.apply(svars, f, method=model.hint_embeddings))
-        boxes_v = flipped_boxes if si % 2 == 1 else rois_boxes
-        rng, r_do = jax.random.split(rng)
-        logits = model.apply(
-            svars, f, boxes_v, False, method=model.box_predictions, rngs={"dropout": r_do}
-        )[0]
-        s_logits.append(logits)
+        if use_mgd:
+            s_embs.append(model.apply(svars, f, method=model.hint_embeddings))
+        if use_psm:
+            boxes_v = flipped_boxes if si % 2 == 1 else rois_boxes
+            rng, r_do = jax.random.split(rng)
+            logits = model.apply(
+                svars, f, boxes_v, False, method=model.box_predictions, rngs={"dropout": r_do}
+            )[0]
+            s_logits.append(logits)
 
     losses = {}
-    if mt.cls_loss_weight > 0:
+    if use_psm:
         losses["mt_classifier"] = psm_loss(
             s_logits, t_logits, rois.labels, rois.valid, mt, c.num_classes
         )
-    if mt.fg_hint > 0:
+    if use_mgd:
         losses["mt_fg_loss"] = mgd_loss(t_embs, s_embs, integral, mt)
     return losses
 
