@@ -223,3 +223,18 @@ def test_transform(sample: dict, min_size=800, max_size=1333) -> dict:
     out = dict(sample)
     out["image"] = normalize_bgr255(sample["image"])
     return out
+
+
+def tta_transform(sample: dict, rng: np.random.Generator, k: int, min_size=800, max_size=1333):
+    """Test-time augmentation (TEST.TTA, transforms/build.py:65-79):
+    same split as the no_label pipeline — one geometric transform, K
+    color/erase views — but keeps the (resized) targets for scoring."""
+    sample = resize_sample(sample, min_size, max_size)
+    views = []
+    for _ in range(k):
+        img = color_jitter(sample["image"], rng)
+        img = random_erasing(img, rng, 0.9)
+        views.append(normalize_bgr255(img))
+    out = dict(sample)
+    out["views"] = views
+    return out
