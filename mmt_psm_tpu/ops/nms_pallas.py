@@ -1,0 +1,135 @@
+"""Pallas TPU kernel for greedy NMS suppression.
+
+The XLA implementation (ops/nms.py) runs the tile scan as a
+``fori_loop`` + ``while_loop`` nest — every sequential step is a
+separate XLA loop iteration with HBM round-trips for the suppression
+state. This kernel keeps the sorted boxes and the suppression mask
+resident in VMEM and runs the whole greedy scan inside one Pallas
+program: per 128-box tile, an in-register Jacobi fixpoint resolves
+intra-tile suppression, then one [tile, N] IoU pass suppresses later
+boxes (same exact-greedy algorithm, zero loop-boundary overhead).
+
+Semantics identical to ops/nms.py / the reference kernels
+(csrc/cpu/nms_cpu.cpp:37-63): +1 area convention, suppress at
+IoU >= threshold. Inputs must be pre-sorted by descending score with
+invalid rows pushed to the end (ops/nms.py handles sorting; see
+``nms_mask_pallas`` below for the drop-in wrapper).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..structures.boxes import box_iou
+
+try:  # pallas import is deferred-safe for environments without TPU support
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    HAVE_PALLAS = False
+
+NEG_INF = -1e30
+
+
+def _nms_kernel(boxes_ref, valid_ref, out_ref, *, iou_threshold: float, tile: int):
+    """boxes_ref: [N, 4] f32 sorted by score desc; valid_ref: [N, 1] f32
+    (1 valid); out_ref: [N, 1] f32 suppression flags (1 = suppressed)."""
+    n = boxes_ref.shape[0]
+    num_tiles = n // tile
+
+    boxes = boxes_ref[:]  # [N, 4] in VMEM
+    valid = valid_ref[:][:, 0]  # [N]
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
+
+    def iou_block(i0, m):
+        """IoU between boxes[i0:i0+tile] and all boxes: [tile, N]."""
+        bx1 = jax.lax.dynamic_slice(x1, (i0,), (m,))
+        by1 = jax.lax.dynamic_slice(y1, (i0,), (m,))
+        bx2 = jax.lax.dynamic_slice(x2, (i0,), (m,))
+        by2 = jax.lax.dynamic_slice(y2, (i0,), (m,))
+        ba = jax.lax.dynamic_slice(area, (i0,), (m,))
+        lt_x = jnp.maximum(bx1[:, None], x1[None, :])
+        lt_y = jnp.maximum(by1[:, None], y1[None, :])
+        rb_x = jnp.minimum(bx2[:, None], x2[None, :])
+        rb_y = jnp.minimum(by2[:, None], y2[None, :])
+        w = jnp.maximum(rb_x - lt_x + 1.0, 0.0)
+        h = jnp.maximum(rb_y - lt_y + 1.0, 0.0)
+        inter = w * h
+        return inter / jnp.maximum(ba[:, None] + area[None, :] - inter, 1e-10)
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    tile_pos = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)[:, 0]
+    tril = tile_pos[:, None] < tile_pos[None, :]
+
+    def tile_body(t, supp):
+        start = t * tile
+        iou_tn = iou_block(start, tile)  # [tile, N]
+        sup_rel = jnp.logical_and(
+            jax.lax.dynamic_slice(iou_tn, (0, start), (tile, tile)) >= iou_threshold, tril
+        )
+        tsupp0 = jax.lax.dynamic_slice(supp, (start,), (tile,))
+        tvalid = jax.lax.dynamic_slice(valid, (start,), (tile,)) > 0.5
+
+        def fix_cond(state):
+            return state[1]
+
+        def fix_step(state):
+            cur, _ = state
+            alive = jnp.logical_and(jnp.logical_not(cur > 0.5), tvalid)
+            new = jnp.maximum(
+                tsupp0, jnp.any(jnp.logical_and(sup_rel, alive[:, None]), axis=0).astype(jnp.float32)
+            )
+            return new, jnp.any(new != cur)
+
+        tsupp, _ = jax.lax.while_loop(fix_cond, fix_step, (tsupp0, jnp.array(True)))
+
+        survivors = jnp.logical_and(jnp.logical_not(tsupp > 0.5), tvalid)
+        hit = jnp.any(
+            jnp.logical_and(iou_tn >= iou_threshold, survivors[:, None]), axis=0
+        )
+        later = idx >= start + tile
+        supp = jax.lax.dynamic_update_slice(supp, tsupp, (start,))
+        return jnp.maximum(supp, jnp.logical_and(hit, later).astype(jnp.float32))
+
+    supp = jax.lax.fori_loop(0, num_tiles, tile_body, jnp.zeros((n,), jnp.float32))
+    out_ref[:] = supp[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("iou_threshold", "tile", "interpret"))
+def nms_suppress_pallas(boxes_sorted, valid_sorted, iou_threshold: float, tile: int = 128, interpret: bool = False):
+    """Suppression flags [N] (1 = suppressed) for score-sorted boxes."""
+    n = boxes_sorted.shape[0]
+    pad = (-n) % tile
+    if pad:
+        boxes_sorted = jnp.pad(boxes_sorted, ((0, pad), (0, 0)))
+        valid_sorted = jnp.pad(valid_sorted, ((0, pad),))
+    m = boxes_sorted.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_nms_kernel, iou_threshold=iou_threshold, tile=tile),
+        out_shape=jax.ShapeDtypeStruct((m, 1), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(boxes_sorted.astype(jnp.float32), valid_sorted.astype(jnp.float32)[:, None])
+    return out[:n, 0]
+
+
+def nms_mask_pallas(boxes, scores, valid, iou_threshold: float, tile: int = 128, interpret: bool = False):
+    """Drop-in replacement for ops.nms.nms_mask using the Pallas kernel."""
+    scores_m = jnp.where(valid, scores, NEG_INF)
+    order = jnp.argsort(-scores_m)
+    boxes_s = boxes[order]
+    valid_s = valid[order]
+    supp = nms_suppress_pallas(boxes_s, valid_s, iou_threshold, tile=tile, interpret=interpret)
+    keep_sorted = jnp.logical_and(supp < 0.5, valid_s)
+    n = boxes.shape[0]
+    return jnp.zeros((n,), bool).at[order].set(keep_sorted)
