@@ -117,7 +117,9 @@ def select_proposals(
             nms_thresh=nms_thresh,
             min_size=min_size,
         )
-        boxes_b, scores_b, valid_b = jax.vmap(fn)(scores, reg.astype(jnp.float32), jnp.broadcast_to(anc_l, (obj.shape[0],) + anc_l.shape), image_sizes)
+        boxes_b, scores_b, valid_b = jax.vmap(fn, in_axes=(0, 0, None, 0))(
+            scores, reg.astype(jnp.float32), anc_l, image_sizes
+        )
         per_level.append((boxes_b, scores_b, valid_b))
 
     boxes = jnp.concatenate([p[0] for p in per_level], axis=1)  # [B, L*post, 4]
