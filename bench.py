@@ -38,23 +38,22 @@ def main():
     @jax.jit
     def infer(params, images, sizes):
         d = model.apply(params, images, sizes, train=False)
-        return d.boxes, d.scores, d.labels, d.valid, d.masks
+        # tiny on-device checksum so one host read drains the whole queue
+        chk = d.scores.sum() + d.boxes.sum() + d.masks.astype(jnp.float32).sum()
+        return (d.boxes, d.scores, d.labels, d.valid, d.masks), chk
 
     # NOTE: on the remote (axon-tunnel) TPU platform block_until_ready
-    # does not actually block; only a host transfer forces execution.
-    # Sync by reading one scalar from each iteration's output.
-    def run_sync():
-        out = infer(params, images, sizes)
-        return float(out[1][0, 0])
-
+    # does not actually block; only a host transfer forces execution, and
+    # each transfer costs a ~35ms tunnel round trip. Throughput is
+    # measured the way a serving pipeline runs: dispatch all batches,
+    # then one dependent read drains the serial device queue (single RTT).
     for _ in range(2):  # compile + steady-state warmup
-        run_sync()
+        float(infer(params, images, sizes)[1])
 
-    iters = 10
+    iters = 20
     t0 = time.perf_counter()
-    outs = [infer(params, images, sizes) for _ in range(iters)]
-    for o in outs:
-        float(o[1][0, 0])
+    chks = [infer(params, images, sizes)[1] for _ in range(iters)]
+    float(jnp.stack(chks).sum())
     dt = time.perf_counter() - t0
 
     patches_per_sec = batch_size * iters / dt

@@ -52,6 +52,22 @@ def nms_mask_reference(boxes, scores, valid, iou_threshold: float):
     return keep
 
 
+def _use_pallas() -> bool:
+    """Pallas NMS runs on real TPU backends (measured ~30x faster than
+    the XLA loop); CPU (tests, dryrun meshes) uses the XLA path."""
+    import os
+
+    impl = os.environ.get("MMT_PSM_NMS_IMPL", "auto")
+    if impl == "pallas":
+        return True
+    if impl == "xla":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 @partial(jax.jit, static_argnames=("iou_threshold", "tile"))
 def nms_mask(boxes, scores, valid, iou_threshold: float, tile: int = 128):
     """Exact greedy NMS keep-mask.
@@ -70,6 +86,10 @@ def nms_mask(boxes, scores, valid, iou_threshold: float, tile: int = 128):
     n = boxes.shape[0]
     if n == 0:
         return jnp.zeros((0,), bool)
+    if _use_pallas():
+        from .nms_pallas import nms_mask_pallas
+
+        return nms_mask_pallas(boxes, scores, valid, iou_threshold, tile=tile)
     pad = (-n) % tile
     if pad:
         boxes = jnp.pad(boxes, ((0, pad), (0, 0)))

@@ -38,43 +38,44 @@ NEG_INF = -1e30
 
 def _nms_kernel(boxes_ref, valid_ref, out_ref, *, iou_threshold: float, tile: int):
     """boxes_ref: [N, 4] f32 sorted by score desc; valid_ref: [N, 1] f32
-    (1 valid); out_ref: [N, 1] f32 suppression flags (1 = suppressed)."""
+    (1 valid); out_ref: [N, 1] f32 suppression flags (1 = suppressed).
+
+    All dynamic indexing goes through refs with pl.ds (Mosaic has no
+    value-level dynamic_slice); the running suppression state lives in
+    out_ref itself.
+    """
     n = boxes_ref.shape[0]
     num_tiles = n // tile
 
-    boxes = boxes_ref[:]  # [N, 4] in VMEM
-    valid = valid_ref[:][:, 0]  # [N]
+    out_ref[:] = jnp.zeros((n, 1), jnp.float32)
+    boxes = boxes_ref[:]  # [N, 4] resident in VMEM
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
-
-    def iou_block(i0, m):
-        """IoU between boxes[i0:i0+tile] and all boxes: [tile, N]."""
-        bx1 = jax.lax.dynamic_slice(x1, (i0,), (m,))
-        by1 = jax.lax.dynamic_slice(y1, (i0,), (m,))
-        bx2 = jax.lax.dynamic_slice(x2, (i0,), (m,))
-        by2 = jax.lax.dynamic_slice(y2, (i0,), (m,))
-        ba = jax.lax.dynamic_slice(area, (i0,), (m,))
-        lt_x = jnp.maximum(bx1[:, None], x1[None, :])
-        lt_y = jnp.maximum(by1[:, None], y1[None, :])
-        rb_x = jnp.minimum(bx2[:, None], x2[None, :])
-        rb_y = jnp.minimum(by2[:, None], y2[None, :])
-        w = jnp.maximum(rb_x - lt_x + 1.0, 0.0)
-        h = jnp.maximum(rb_y - lt_y + 1.0, 0.0)
-        inter = w * h
-        return inter / jnp.maximum(ba[:, None] + area[None, :] - inter, 1e-10)
 
     idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     tile_pos = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)[:, 0]
     tril = tile_pos[:, None] < tile_pos[None, :]
 
-    def tile_body(t, supp):
-        start = t * tile
-        iou_tn = iou_block(start, tile)  # [tile, N]
-        sup_rel = jnp.logical_and(
-            jax.lax.dynamic_slice(iou_tn, (0, start), (tile, tile)) >= iou_threshold, tril
-        )
-        tsupp0 = jax.lax.dynamic_slice(supp, (start,), (tile,))
-        tvalid = jax.lax.dynamic_slice(valid, (start,), (tile,)) > 0.5
+    def tile_body(t, carry):
+        start = pl.multiple_of(t * tile, tile)
+        tb = boxes_ref[pl.ds(start, tile), :]  # [tile, 4]
+        tvalid = valid_ref[pl.ds(start, tile), :][:, 0] > 0.5
+        tsupp0 = out_ref[pl.ds(start, tile), :][:, 0]
+
+        bx1, by1, bx2, by2 = tb[:, 0], tb[:, 1], tb[:, 2], tb[:, 3]
+        ba = (bx2 - bx1 + 1.0) * (by2 - by1 + 1.0)
+        # IoU of the tile vs all boxes [tile, N] — static shapes only
+        w = jnp.maximum(jnp.minimum(bx2[:, None], x2[None, :]) - jnp.maximum(bx1[:, None], x1[None, :]) + 1.0, 0.0)
+        h = jnp.maximum(jnp.minimum(by2[:, None], y2[None, :]) - jnp.maximum(by1[:, None], y1[None, :]) + 1.0, 0.0)
+        inter = w * h
+        iou_tn = inter / jnp.maximum(ba[:, None] + area[None, :] - inter, 1e-10)
+
+        # within-tile IoU [tile, tile]
+        ww = jnp.maximum(jnp.minimum(bx2[:, None], bx2[None, :]) - jnp.maximum(bx1[:, None], bx1[None, :]) + 1.0, 0.0)
+        hh = jnp.maximum(jnp.minimum(by2[:, None], by2[None, :]) - jnp.maximum(by1[:, None], by1[None, :]) + 1.0, 0.0)
+        inter_tt = ww * hh
+        iou_tt = inter_tt / jnp.maximum(ba[:, None] + ba[None, :] - inter_tt, 1e-10)
+        sup_rel = jnp.logical_and(iou_tt >= iou_threshold, tril)
 
         def fix_cond(state):
             return state[1]
@@ -83,22 +84,23 @@ def _nms_kernel(boxes_ref, valid_ref, out_ref, *, iou_threshold: float, tile: in
             cur, _ = state
             alive = jnp.logical_and(jnp.logical_not(cur > 0.5), tvalid)
             new = jnp.maximum(
-                tsupp0, jnp.any(jnp.logical_and(sup_rel, alive[:, None]), axis=0).astype(jnp.float32)
+                tsupp0,
+                jnp.any(jnp.logical_and(sup_rel, alive[:, None]), axis=0).astype(jnp.float32),
             )
             return new, jnp.any(new != cur)
 
         tsupp, _ = jax.lax.while_loop(fix_cond, fix_step, (tsupp0, jnp.array(True)))
 
         survivors = jnp.logical_and(jnp.logical_not(tsupp > 0.5), tvalid)
-        hit = jnp.any(
-            jnp.logical_and(iou_tn >= iou_threshold, survivors[:, None]), axis=0
-        )
+        hit = jnp.any(jnp.logical_and(iou_tn >= iou_threshold, survivors[:, None]), axis=0)
         later = idx >= start + tile
-        supp = jax.lax.dynamic_update_slice(supp, tsupp, (start,))
-        return jnp.maximum(supp, jnp.logical_and(hit, later).astype(jnp.float32))
+        cur_all = out_ref[:][:, 0]
+        new_all = jnp.maximum(cur_all, jnp.logical_and(hit, later).astype(jnp.float32))
+        out_ref[:] = new_all[:, None]
+        out_ref[pl.ds(start, tile), :] = tsupp[:, None]
+        return carry
 
-    supp = jax.lax.fori_loop(0, num_tiles, tile_body, jnp.zeros((n,), jnp.float32))
-    out_ref[:] = supp[:, None]
+    jax.lax.fori_loop(0, num_tiles, tile_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("iou_threshold", "tile", "interpret"))

@@ -63,24 +63,44 @@ def _axis_weights(start, size, pooled: int, grid: int, dim: int, dtype):
     return A  # [P, D]
 
 
-def _roi_align_one(feat, roi, spatial_scale, pooled: int, grid: int):
-    """feat: [H, W, C]; roi: [4] xyxy in input-image coords."""
-    h, w = feat.shape[0], feat.shape[1]
-    dtype = feat.dtype
+def _roi_weights(feat_hw, roi, spatial_scale, pooled: int, grid: int, dtype):
+    """Per-roi separable interpolation matrices (Ay [P,H], Ax [P,W])."""
+    h, w = feat_hw
     start_x = roi[0] * spatial_scale
     start_y = roi[1] * spatial_scale
-    end_x = roi[2] * spatial_scale
-    end_y = roi[3] * spatial_scale
-    roi_w = jnp.maximum(end_x - start_x, 1.0)
-    roi_h = jnp.maximum(end_y - start_y, 1.0)
+    roi_w = jnp.maximum(roi[2] * spatial_scale - start_x, 1.0)
+    roi_h = jnp.maximum(roi[3] * spatial_scale - start_y, 1.0)
+    Ay = _axis_weights(start_y, roi_h, pooled, grid, h, dtype)
+    Ax = _axis_weights(start_x, roi_w, pooled, grid, w, dtype)
+    return Ay, Ax
 
-    Ay = _axis_weights(start_y, roi_h, pooled, grid, h, dtype)  # [P, H]
-    Ax = _axis_weights(start_x, roi_w, pooled, grid, w, dtype)  # [P, W]
 
+def _roi_align_one(feat, roi, spatial_scale, pooled: int, grid: int):
+    """feat: [H, W, C]; roi: [4] xyxy in input-image coords."""
+    dtype = feat.dtype
+    Ay, Ax = _roi_weights(feat.shape[:2], roi, spatial_scale, pooled, grid, dtype)
     # out[py, px, c] = sum_{h,w} Ay[py,h] Ax[px,w] feat[h,w,c]
     tmp = jnp.einsum("ph,hwc->pwc", Ay, feat, preferred_element_type=dtype)
     out = jnp.einsum("qw,pwc->pqc", Ax, tmp, preferred_element_type=dtype)
     return out  # [P, P, C]
+
+
+def _roi_align_chunk(feat, rois, spatial_scale, pooled: int, grid: int):
+    """Chunk-batched ROIAlign: the heavy first contraction is reshaped so
+    the RoI chunk rides the matmul M dimension ([n*P, H] @ [H, W*C]) —
+    full MXU rows instead of 7/128 utilization per thin per-roi matmul.
+    feat: [H, W, C]; rois: [n, 4] -> [n, P, P, C]."""
+    h, w, c = feat.shape
+    dtype = feat.dtype
+    Ay, Ax = jax.vmap(
+        lambda r: _roi_weights((h, w), r, spatial_scale, pooled, grid, dtype)
+    )(rois)  # [n, P, H], [n, P, W]
+    n = rois.shape[0]
+    tmp = jnp.dot(
+        Ay.reshape(n * pooled, h), feat.reshape(h, w * c), preferred_element_type=dtype
+    ).reshape(n, pooled, w, c)
+    out = jnp.einsum("nqw,npwc->npqc", Ax, tmp, preferred_element_type=dtype)
+    return out
 
 
 @partial(jax.jit, static_argnames=("pooled_size", "sampling_ratio", "roi_chunk"))
@@ -110,18 +130,18 @@ def roi_align(
     assert sampling_ratio > 0, "sampling_ratio must be static and > 0 on TPU"
     n = rois.shape[0]
     fn = partial(
-        _roi_align_one,
+        _roi_align_chunk,
         features,
         spatial_scale=spatial_scale,
         pooled=pooled_size,
         grid=sampling_ratio,
     )
     if n <= roi_chunk:
-        return jax.vmap(fn)(rois)
+        return fn(rois)
     pad = (-n) % roi_chunk
     rois_p = jnp.pad(rois, ((0, pad), (0, 0)))
     chunks = rois_p.reshape(-1, roi_chunk, 4)
-    out = jax.lax.map(jax.vmap(fn), chunks)
+    out = jax.lax.map(fn, chunks)
     return out.reshape(-1, pooled_size, pooled_size, features.shape[-1])[:n]
 
 
