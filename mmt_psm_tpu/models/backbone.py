@@ -13,6 +13,7 @@ class ResNetFPNBackbone(nn.Module):
     out_channels: int = 256
     freeze_at: int = 2
     stride_in_1x1: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -20,9 +21,10 @@ class ResNetFPNBackbone(nn.Module):
             conv_body=self.conv_body,
             freeze_at=self.freeze_at,
             stride_in_1x1=self.stride_in_1x1,
+            dtype=self.dtype,
             name="body",
         )(x)
-        return FPN(out_channels=self.out_channels, use_p6=True, name="fpn")(feats)
+        return FPN(out_channels=self.out_channels, use_p6=True, dtype=self.dtype, name="fpn")(feats)
 
 
 class ResNetC4Backbone(nn.Module):

@@ -42,6 +42,7 @@ class FPN2MLPExtractor(nn.Module):
 
     mlp_dim: int = 1024
     dropout: float = 0.0
+    dtype: object = None
 
     @nn.compact
     def __call__(self, pooled, deterministic: bool = True):
@@ -49,10 +50,10 @@ class FPN2MLPExtractor(nn.Module):
         # permutes fc6 weights to match)
         x = pooled.reshape(pooled.shape[0], -1)
         init = nn.initializers.variance_scaling(1.0 / 3, "fan_in", "uniform")
-        x = nn.relu(nn.Dense(self.mlp_dim, kernel_init=init, name="fc6")(x))
+        x = nn.relu(nn.Dense(self.mlp_dim, kernel_init=init, dtype=self.dtype, name="fc6")(x))
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        x = nn.relu(nn.Dense(self.mlp_dim, kernel_init=init, name="fc7")(x))
+        x = nn.relu(nn.Dense(self.mlp_dim, kernel_init=init, dtype=self.dtype, name="fc7")(x))
         if self.dropout > 0:
             x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         return x
@@ -62,11 +63,12 @@ class FPNPredictor(nn.Module):
     """Class logits + per-class box deltas (roi_box_predictors.py:31-53)."""
 
     num_classes: int = 3
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        cls = nn.Dense(self.num_classes, kernel_init=nn.initializers.normal(0.01), name="cls_score")(x)
-        reg = nn.Dense(self.num_classes * 4, kernel_init=nn.initializers.normal(0.001), name="bbox_pred")(x)
+        cls = nn.Dense(self.num_classes, kernel_init=nn.initializers.normal(0.01), dtype=self.dtype, name="cls_score")(x)
+        reg = nn.Dense(self.num_classes * 4, kernel_init=nn.initializers.normal(0.001), dtype=self.dtype, name="bbox_pred")(x)
         return cls, reg
 
 

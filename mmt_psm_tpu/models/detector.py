@@ -145,12 +145,13 @@ class HintAdaptor(nn.Module):
     (reference MaskRCNNFPNAdaptor, roi_box_feature_extractors.py:45-75)."""
 
     out_dim: int = 128
+    dtype: object = None
 
     @nn.compact
     def __call__(self, features):
         init = nn.initializers.variance_scaling(1.0 / 3, "fan_in", "uniform")
         return tuple(
-            nn.Conv(self.out_dim, (1, 1), kernel_init=init, name=f"adapter_{i+1}")(f)
+            nn.Conv(self.out_dim, (1, 1), kernel_init=init, dtype=self.dtype, name=f"adapter_{i+1}")(f)
             for i, f in enumerate(features)
         )
 
@@ -160,17 +161,21 @@ class MaskRCNN(nn.Module):
 
     def setup(self):
         c = self.config
+        # flax computation dtype: cast params to the compute dtype per call
+        # so convs/matmuls run at bf16 MXU rate (dtype=None would promote
+        # bf16 activations x f32 params back to f32 everywhere)
+        dt = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
         self.backbone = ResNetFPNBackbone(
-            out_channels=c.backbone_out_channels, freeze_at=c.freeze_at, name="backbone"
+            out_channels=c.backbone_out_channels, freeze_at=c.freeze_at, dtype=dt, name="backbone"
         )
-        self.rpn_head = RPN.RPNHead(num_anchors=len(c.aspect_ratios), channels=c.backbone_out_channels, name="rpn")
-        self.box_extractor = BH.FPN2MLPExtractor(mlp_dim=c.mlp_dim, dropout=c.box_head_dropout, name="box_extractor")
-        self.box_predictor = BH.FPNPredictor(num_classes=c.num_classes, name="box_predictor")
+        self.rpn_head = RPN.RPNHead(num_anchors=len(c.aspect_ratios), channels=c.backbone_out_channels, dtype=dt, name="rpn")
+        self.box_extractor = BH.FPN2MLPExtractor(mlp_dim=c.mlp_dim, dropout=c.box_head_dropout, dtype=dt, name="box_extractor")
+        self.box_predictor = BH.FPNPredictor(num_classes=c.num_classes, dtype=dt, name="box_predictor")
         if c.mask_on:
-            self.mask_extractor = MH.MaskRCNNFPNExtractor(name="mask_extractor")
-            self.mask_predictor = MH.MaskRCNNC4Predictor(num_classes=c.num_classes, name="mask_predictor")
+            self.mask_extractor = MH.MaskRCNNFPNExtractor(dtype=dt, name="mask_extractor")
+            self.mask_predictor = MH.MaskRCNNC4Predictor(num_classes=c.num_classes, dtype=dt, name="mask_predictor")
         if c.with_hint_adaptor:
-            self.hint_adaptor = HintAdaptor(out_dim=c.hint_dim, name="hint_adaptor")
+            self.hint_adaptor = HintAdaptor(out_dim=c.hint_dim, dtype=dt, name="hint_adaptor")
         if c.with_relation_nms:
             from .relation import RelationNMS
 

@@ -24,6 +24,7 @@ def _upsample2x_nearest(x):
 class FPN(nn.Module):
     out_channels: int = 256
     use_p6: bool = True  # LastLevelMaxPool
+    dtype: object = None
 
     @nn.compact
     def __call__(self, features):
@@ -33,11 +34,11 @@ class FPN(nn.Module):
         init = nn.initializers.variance_scaling(1.0 / 3, "fan_in", "uniform")
 
         inners = [
-            nn.Conv(self.out_channels, (1, 1), padding="VALID", kernel_init=init, name=f"fpn_inner{i+1}")
+            nn.Conv(self.out_channels, (1, 1), padding="VALID", kernel_init=init, dtype=self.dtype, name=f"fpn_inner{i+1}")
             for i in range(n)
         ]
         layers = [
-            nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=init, name=f"fpn_layer{i+1}")
+            nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=init, dtype=self.dtype, name=f"fpn_layer{i+1}")
             for i in range(n)
         ]
 

@@ -35,8 +35,14 @@ class FrozenBatchNorm(nn.Module):
         return x * scale.astype(x.dtype) + shift.astype(x.dtype)
 
 
-def conv(features, kernel, stride=1, padding="SAME", use_bias=False, name=None, groups=1):
-    """Conv2D with torch-style explicit padding semantics."""
+def conv(features, kernel, stride=1, padding="SAME", use_bias=False, name=None, groups=1, dtype=None):
+    """Conv2D with torch-style explicit padding semantics.
+
+    ``dtype`` is the flax computation dtype: when set (bfloat16 on TPU)
+    params are cast to it per call so the conv actually runs on the MXU
+    at bf16 rate — with dtype=None flax promotes bf16 activations x f32
+    params back to f32 (silently 2x+ slower).
+    """
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
     return nn.Conv(
@@ -47,7 +53,7 @@ def conv(features, kernel, stride=1, padding="SAME", use_bias=False, name=None, 
         use_bias=use_bias,
         feature_group_count=groups,
         name=name,
-        dtype=None,  # infer from inputs; params stay f32
+        dtype=dtype,  # param_dtype stays f32
     )
 
 

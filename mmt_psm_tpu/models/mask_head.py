@@ -33,13 +33,14 @@ from .box_head import SampledRoIs, pool_boxes_batched
 
 class MaskRCNNFPNExtractor(nn.Module):
     layers: tuple = (256, 256, 256, 256)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, pooled):
         init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")  # kaiming_normal
         x = pooled
         for i, ch in enumerate(self.layers):
-            x = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=init, name=f"mask_fcn{i+1}")(x)
+            x = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=init, dtype=self.dtype, name=f"mask_fcn{i+1}")(x)
             x = nn.relu(x)
         return x
 
@@ -47,13 +48,14 @@ class MaskRCNNFPNExtractor(nn.Module):
 class MaskRCNNC4Predictor(nn.Module):
     num_classes: int = 3
     dim_reduced: int = 256
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
-        x = nn.ConvTranspose(self.dim_reduced, (2, 2), strides=(2, 2), kernel_init=init, name="conv5_mask")(x)
+        x = nn.ConvTranspose(self.dim_reduced, (2, 2), strides=(2, 2), kernel_init=init, dtype=self.dtype, name="conv5_mask")(x)
         x = nn.relu(x)
-        x = nn.Conv(self.num_classes, (1, 1), kernel_init=init, name="mask_fcn_logits")(x)
+        x = nn.Conv(self.num_classes, (1, 1), kernel_init=init, dtype=self.dtype, name="mask_fcn_logits")(x)
         return x  # [N, 2P, 2P, C]
 
 

@@ -35,10 +35,11 @@ STAGE_SPECS = {
 
 class Stem(nn.Module):
     out_channels: int = 64
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = conv(self.out_channels, 7, stride=2, padding=3, name="conv1")(x)
+        x = conv(self.out_channels, 7, stride=2, padding=3, name="conv1", dtype=self.dtype)(x)
         x = FrozenBatchNorm(self.out_channels, name="bn1")(x)
         x = nn.relu(x)
         return max_pool_3x3_s2(x)
@@ -50,21 +51,22 @@ class Bottleneck(nn.Module):
     stride: int = 1
     stride_in_1x1: bool = True
     num_groups: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         in_channels = x.shape[-1]
         residual = x
         if in_channels != self.out_channels:
-            residual = conv(self.out_channels, 1, stride=self.stride, padding=0, name="downsample_conv")(x)
+            residual = conv(self.out_channels, 1, stride=self.stride, padding=0, name="downsample_conv", dtype=self.dtype)(x)
             residual = FrozenBatchNorm(self.out_channels, name="downsample_bn")(residual)
 
         s1, s3 = (self.stride, 1) if self.stride_in_1x1 else (1, self.stride)
-        out = conv(self.bottleneck_channels, 1, stride=s1, padding=0, name="conv1")(x)
+        out = conv(self.bottleneck_channels, 1, stride=s1, padding=0, name="conv1", dtype=self.dtype)(x)
         out = nn.relu(FrozenBatchNorm(self.bottleneck_channels, name="bn1")(out))
-        out = conv(self.bottleneck_channels, 3, stride=s3, padding=1, name="conv2", groups=self.num_groups)(out)
+        out = conv(self.bottleneck_channels, 3, stride=s3, padding=1, name="conv2", groups=self.num_groups, dtype=self.dtype)(out)
         out = nn.relu(FrozenBatchNorm(self.bottleneck_channels, name="bn2")(out))
-        out = conv(self.out_channels, 1, padding=0, name="conv3")(out)
+        out = conv(self.out_channels, 1, padding=0, name="conv3", dtype=self.dtype)(out)
         out = FrozenBatchNorm(self.out_channels, name="bn3")(out)
         return nn.relu(out + residual)
 
@@ -79,11 +81,12 @@ class ResNet(nn.Module):
     width_per_group: int = 64
     stride_in_1x1: bool = True
     freeze_at: int = 2  # freeze stem + stages < freeze_at (resnet.py:108-115)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         spec = STAGE_SPECS[self.conv_body]
-        x = Stem(self.stem_out_channels, name="stem")(x)
+        x = Stem(self.stem_out_channels, name="stem", dtype=self.dtype)(x)
         if self.freeze_at >= 1:
             x = jax.lax.stop_gradient(x)
 
@@ -102,6 +105,7 @@ class ResNet(nn.Module):
                     stride_in_1x1=self.stride_in_1x1,
                     num_groups=self.num_groups,
                     name=f"layer{stage_idx}_{b}",
+                    dtype=self.dtype,
                 )(x)
             if self.freeze_at >= stage_idx + 1:
                 x = jax.lax.stop_gradient(x)

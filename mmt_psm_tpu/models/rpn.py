@@ -43,13 +43,14 @@ class RPNHead(nn.Module):
 
     num_anchors: int = 3
     channels: int = 256
+    dtype: object = None
 
     @nn.compact
     def __call__(self, features):
         init = nn.initializers.normal(0.01)
-        conv = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=init, name="conv")
-        cls = nn.Conv(self.num_anchors, (1, 1), kernel_init=init, name="cls_logits")
-        reg = nn.Conv(self.num_anchors * 4, (1, 1), kernel_init=init, name="bbox_pred")
+        conv = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=init, dtype=self.dtype, name="conv")
+        cls = nn.Conv(self.num_anchors, (1, 1), kernel_init=init, dtype=self.dtype, name="cls_logits")
+        reg = nn.Conv(self.num_anchors * 4, (1, 1), kernel_init=init, dtype=self.dtype, name="bbox_pred")
         logits, bbox_reg = [], []
         for f in features:
             t = nn.relu(conv(f))

@@ -110,7 +110,7 @@ def roi_align(
     spatial_scale: float,
     pooled_size: int,
     sampling_ratio: int,
-    roi_chunk: int = 32,
+    roi_chunk: int = 128,
 ) -> jnp.ndarray:
     """ROIAlign over one feature map.
 
