@@ -23,7 +23,7 @@ def main():
     from mmt_psm_tpu.data.synthetic import generate_batch, normalize_image
     from mmt_psm_tpu.models import MaskRCNN, ModelConfig
 
-    batch_size = 4
+    batch_size = 8
     cfg = ModelConfig(image_size=1024)
     model = MaskRCNN(config=cfg)
 
