@@ -1,1 +1,1 @@
-from . import synthetic  # noqa: F401
+from . import catalog, cell, coco, loader, pap, samplers, synthetic, transforms  # noqa: F401
