@@ -70,6 +70,10 @@ class MTConfig:
     nms_loss_weight: float = 1.0
     flip: bool = True
     mgd_canvas_stride: int = 4  # integral mask computed at P2 resolution
+    # compared methods retained by the reference (MT.ODKD / MT.FFI,
+    # config/defaults.py:356-357)
+    odkd: bool = False
+    ffi: bool = False
 
     @classmethod
     def from_cfg(cls, cfg) -> "MTConfig":
@@ -91,6 +95,8 @@ class MTConfig:
             fg_hint=cfg.MT.FG_HINT,
             nms_loss_weight=cfg.MODEL.RELATION_NMS.LOSS,
             flip=cfg.MT.FLIP,
+            odkd=cfg.MT.ODKD,
+            ffi=cfg.MT.FFI,
         )
 
 
@@ -193,6 +199,65 @@ def mgd_loss(teacher_emb_views, student_emb_views, integral_canvas, mt: MTConfig
                 d = jnp.sum(((s_f - t_f) ** 2) * m) / (jnp.sum(m) * s_f.shape[-1] + 1e-7)
                 dists.append(d)
     return jnp.mean(jnp.stack(dists))
+
+
+# -------------------------------------------------- compared methods
+def odkd_loss(student_logits, teacher_logits, labels, valid, neg_weight: float = 1.5):
+    """ODKD baseline: single-view soft CE with 1.5x negative weight
+    (box_head/loss.py:239-255). student/teacher_logits: [B, S, C]."""
+    c = student_logits.shape[-1]
+    s = student_logits.reshape(-1, c).astype(jnp.float32)
+    t = jax.lax.stop_gradient(teacher_logits.reshape(-1, c).astype(jnp.float32))
+    labels_f = labels.reshape(-1)
+    valid_f = valid.reshape(-1)
+    logp = jax.nn.log_softmax(s, axis=-1)
+    target = jax.nn.softmax(t, axis=-1)
+    w = jnp.where(labels_f == 0, neg_weight, 1.0) * valid_f.astype(jnp.float32)
+    per = -target * logp * w[:, None]
+    # reference: elementwise mean over all (rows x classes)
+    return jnp.sum(per) / jnp.maximum(jnp.sum(valid_f) * c, 1.0)
+
+
+def ffi_hint_loss(teacher_emb_view0, student_emb_view0, box_canvas):
+    """FFI baseline: box-canvas-masked feature MSE between the unflipped
+    view-0 embeddings (generalized_rcnn.py:284-294). box_canvas:
+    [B, Hc, Wc] 1 inside any foreground box."""
+    import flax.linen as nn
+
+    canvas = box_canvas[..., None]
+    dists = []
+    for s_f, t_f in zip(student_emb_view0, teacher_emb_view0):
+        s_f = s_f.astype(jnp.float32)
+        t_f = jax.lax.stop_gradient(t_f.astype(jnp.float32))
+        factor = canvas.shape[1] // s_f.shape[1]
+        m = canvas if factor <= 1 else nn.avg_pool(canvas, (factor, factor), strides=(factor, factor))
+        m = (m > 0.5).astype(jnp.float32)
+        dists.append(jnp.sum(((s_f - t_f) ** 2) * m) / jnp.maximum(jnp.sum(m) * s_f.shape[-1], 1.0))
+    return jnp.mean(jnp.stack(dists))
+
+
+def naive_hint_loss(teacher_emb_view0, student_emb_view0):
+    """ODKD naive hint: unmasked feature MSE (generalized_rcnn.py:296-302)."""
+    dists = []
+    for s_f, t_f in zip(student_emb_view0, teacher_emb_view0):
+        s_f = s_f.astype(jnp.float32)
+        t_f = jax.lax.stop_gradient(t_f.astype(jnp.float32))
+        dists.append(jnp.mean((s_f - t_f) ** 2))
+    return jnp.mean(jnp.stack(dists))
+
+
+def boxes_to_canvas(boxes, valid, canvas_size: int, stride: float):
+    """Binary canvas with 1 inside any valid box (the FFI box region
+    finder, rpn/inference.py:174-191). boxes: [K, 4] image coords."""
+    xs = (jnp.arange(canvas_size, dtype=jnp.float32) + 0.5) * stride - 0.5
+    inside_x = (xs[None, :] >= boxes[:, 0:1]) & (xs[None, :] <= boxes[:, 2:3])  # [K, W]
+    inside_y = (xs[None, :] >= boxes[:, 1:2]) & (xs[None, :] <= boxes[:, 3:4])  # [K, H]
+    hit = jnp.einsum(
+        "kh,kw->hw",
+        (inside_y & valid[:, None]).astype(jnp.float32),
+        inside_x.astype(jnp.float32),
+    )
+    return (hit > 0).astype(jnp.float32)
 
 
 # ------------------------------------------------------------ loss weighting
@@ -318,12 +383,29 @@ def unlabeled_losses(model, student_params, teacher_params, batch, rng, mt: MTCo
             s_logits.append(logits)
 
     losses = {}
-    if use_psm:
+    if mt.odkd and use_psm:
+        # ODKD takes precedence over PSM (generalized_rcnn.py:193-196,
+        # box_head.py:104-110): single-view soft distillation
+        losses["mt_classifier"] = odkd_loss(
+            s_logits[0], t_logits[0], rois.labels, rois.valid, mt.cls_balance_weight
+        )
+    elif use_psm:
         losses["mt_classifier"] = psm_loss(
             s_logits, t_logits, rois.labels, rois.valid, mt, c.num_classes
         )
     if use_mgd:
         losses["mt_fg_loss"] = mgd_loss(t_embs, s_embs, integral, mt)
+    if (mt.ffi or mt.odkd) and model.config.with_hint_adaptor:
+        t_emb0 = model.apply(tvars, t_feats[0], method=model.hint_embeddings)
+        s_emb0 = model.apply(svars, s_feats[0], method=model.hint_embeddings)
+        if mt.ffi:
+            canvas_size = c.image_size // mt.mgd_canvas_stride
+            canvas = jax.vmap(
+                lambda bx, v: boxes_to_canvas(bx, v, canvas_size, float(mt.mgd_canvas_stride))
+            )(dets.boxes, dets.valid)
+            losses["mt_hint_loss"] = ffi_hint_loss(t_emb0, s_emb0, canvas)
+        else:
+            losses["mt_hint_loss"] = naive_hint_loss(t_emb0, s_emb0)
     return losses
 
 
