@@ -43,3 +43,17 @@ def test_ffi_and_naive_hint():
     np.testing.assert_allclose(float(ffi_hint_loss(t, s_off, canvas)), 1.0, rtol=1e-5)
     assert float(naive_hint_loss(t, s_same)) == 0.0
     np.testing.assert_allclose(float(naive_hint_loss(t, s_off)), 1.0, rtol=1e-5)
+
+
+def test_gradient_reversal():
+    import jax
+
+    from mmt_psm_tpu.ops.grad_ops import gradient_reversal
+
+    def f(x):
+        return jnp.sum(gradient_reversal(x, 2.0) ** 1)
+
+    g = jax.grad(f)(jnp.ones(3))
+    np.testing.assert_allclose(np.asarray(g), -2.0)
+    # forward is identity
+    np.testing.assert_allclose(np.asarray(gradient_reversal(jnp.ones(3), 2.0)), 1.0)
