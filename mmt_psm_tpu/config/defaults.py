@@ -264,6 +264,10 @@ def _default_config() -> ConfigNode:
     C.SOLVER.WARMUP_ITERS = 500
     C.SOLVER.WARMUP_METHOD = "linear"
     C.SOLVER.CHECKPOINT_PERIOD = 500
+    # 0 disables; >0 clips global grad norm (new: the reference always
+    # starts from pretrained weights and never needs it; from-scratch
+    # runs with the relation heads do)
+    C.SOLVER.CLIP_GRAD_NORM = 0.0
     C.SOLVER.IMS_PER_BATCH = 4
 
     # ---------------------------------------------------------------- TEST

@@ -183,11 +183,16 @@ def color_jitter(img: np.ndarray, rng: np.random.Generator, brightness=0.15, con
     return img
 
 
-def normalize_bgr255(img: np.ndarray) -> np.ndarray:
-    """RGB u8 -> BGR float minus pixel mean (transforms.py:95-99 with the
-    reference PIXEL_MEAN, config/defaults.py:48-52)."""
+def normalize_bgr255(img: np.ndarray, std: np.ndarray | None = None) -> np.ndarray:
+    """RGB u8 -> BGR float minus pixel mean, over PIXEL_STD
+    (transforms.py:95-99; the reference default std is 1, but INPUT.
+    PIXEL_STD is supported — unit-scale inputs stabilize from-scratch
+    training)."""
     bgr = img[..., ::-1].astype(np.float32)
-    return bgr - PIXEL_MEAN_BGR
+    out = bgr - PIXEL_MEAN_BGR
+    if std is not None:
+        out = out / np.asarray(std, np.float32)
+    return out
 
 
 # ------------------------------------------------------------ pipelines

@@ -98,9 +98,11 @@ def make_optimizer(cfg, params):
     nonbias_mask = jax.tree_util.tree_map(lambda b: not b, b_mask)
     bias_factor = float(cfg.SOLVER.BIAS_LR_FACTOR)
 
-    chain = [
-        optax.add_decayed_weights(cfg.SOLVER.WEIGHT_DECAY, mask=nonbias_mask),
-    ]
+    chain = []
+    clip = float(cfg.SOLVER.get("CLIP_GRAD_NORM", 0.0) or 0.0)
+    if clip > 0:
+        chain.append(optax.clip_by_global_norm(clip))
+    chain.append(optax.add_decayed_weights(cfg.SOLVER.WEIGHT_DECAY, mask=nonbias_mask))
     if cfg.SOLVER.WEIGHT_DECAY_BIAS:
         chain.append(optax.add_decayed_weights(cfg.SOLVER.WEIGHT_DECAY_BIAS, mask=b_mask))
     chain.append(optax.trace(decay=cfg.SOLVER.MOMENTUM))
