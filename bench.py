@@ -1,4 +1,9 @@
-"""Benchmark: 1000x1000-patch inference throughput per chip.
+"""Benchmark: 1000x1000-patch FLAGSHIP inference throughput per chip.
+
+Measures the graph the pap test path actually runs (reference
+configs/pap/e2e_mask_rcnn_R_50_FPN_1x.yaml: USE_RELATION_NMS=True,
+USE_RELATION=True — relation-NMS replaces the box post-processor and
+the mask relation module refines mask logits, generalized_rcnn.py:86-91).
 
 The BASELINE.md north star is >= 200 patches/sec on a v5e-8, i.e.
 25 patches/sec/chip; ``vs_baseline`` is measured against that per-chip
@@ -20,11 +25,15 @@ BASELINE_PER_CHIP = 25.0  # patches/sec/chip (200 on v5e-8)
 
 
 def main():
+    from mmt_psm_tpu.config import get_cfg
     from mmt_psm_tpu.data.synthetic import generate_batch, normalize_image
     from mmt_psm_tpu.models import MaskRCNN, ModelConfig
 
     batch_size = 8
-    cfg = ModelConfig(image_size=1024)
+    ycfg = get_cfg()
+    ycfg.merge_from_file("configs/pap/mmt_psm_r50_fpn.yaml")
+    cfg = ModelConfig.from_cfg(ycfg, train=False)
+    assert cfg.with_relation_nms and cfg.with_relation_mask and cfg.image_size == 1024
     model = MaskRCNN(config=cfg)
 
     b = generate_batch(0, batch_size, image_size=1024, max_instances=64)

@@ -8,7 +8,11 @@ teacher ``t_model_*`` snapshots after START_MT (:222-239); smoothed
 loss/time logging every 20 iterations (:204-221).
 
 The device work is two jitted step functions (supervised / MT); the
-python loop only feeds batches and handles IO.
+python loop only feeds batches and handles IO. Data parallelism is
+SPMD over a 1-D ``data`` mesh built from cfg.TPU.MESH_SHAPE: params
+replicated, batches sharded on the leading axis, gradient all-reduce
+inserted by XLA (this is *real* DP — the reference's NCCL scaffolding
+never synchronized gradients, tools/train_mean_teacher.py:136-140).
 """
 
 from __future__ import annotations
@@ -19,12 +23,24 @@ from typing import Iterator
 import jax
 import jax.numpy as jnp
 
+from ..parallel import make_mesh, replicate, shard_batch
 from ..train.mt_step import MTConfig, make_mt_step
 from ..train.optim import make_optimizer
 from ..train.supervised import TrainState, create_train_state, make_supervised_step
 from ..utils.logger import setup_logger
 from ..utils.checkpoint import Checkpointer
 from ..utils.metric_logger import MetricLogger
+
+
+def mesh_size_for(cfg, batch_size: int) -> int:
+    """Number of mesh devices: cfg.TPU.MESH_SHAPE[0] (-1 = all available),
+    capped to a divisor of the batch size so shards are equal."""
+    want = int(cfg.TPU.MESH_SHAPE[0])
+    n = jax.device_count() if want == -1 else min(want, jax.device_count())
+    n = max(n, 1)
+    while batch_size % n:
+        n -= 1
+    return n
 
 
 class MTTrainer:
@@ -48,13 +64,15 @@ class MTTrainer:
         self.checkpoint_period = cfg.SOLVER.CHECKPOINT_PERIOD
 
         self.tx, self.lr_schedule = make_optimizer(cfg, params)
-        self.state = create_train_state(params, self.tx, with_teacher=True)
+        self.mesh = make_mesh(mesh_size_for(cfg, cfg.SOLVER.IMS_PER_BATCH))
+        self.state = replicate(create_train_state(params, self.tx, with_teacher=True), self.mesh)
         self.ckpt_s = Checkpointer(output_dir, "model")
         self.ckpt_t = Checkpointer(output_dir, "t_model")
+        self.logger.info(f"data-parallel mesh: {self.mesh.size} device(s)")
 
         self._sup_step = jax.jit(make_supervised_step(self.model, self.tx, ema_alpha=self.mt.alpha))
         self._mt_step = jax.jit(make_mt_step(self.model, self.tx, self.mt)) if unlabeled_loader else None
-        self.rng = jax.random.PRNGKey(0)
+        self.rng = replicate(jax.random.PRNGKey(0), self.mesh)
 
     def _use_mt(self, iteration: int) -> bool:
         return (
@@ -63,18 +81,41 @@ class MTTrainer:
             and self.mt.lambda_ > 0
         )
 
+    def resume(self) -> int:
+        """Restore the tagged last checkpoint (reference
+        utils/checkpoint.py:119-142). Returns the iteration to resume at."""
+        if not self.ckpt_s.has_checkpoint():
+            return 0
+        name = self.ckpt_s.last_name()
+        host_state = jax.device_get(self.state)
+        restored = self.ckpt_s.load(name, target=self._save_tree(host_state))
+        self.state = replicate(
+            host_state.replace(
+                params=restored["params"],
+                opt_state=restored["opt_state"],
+                step=jnp.asarray(restored["step"], jnp.int32),
+                teacher_params=restored["teacher_params"],
+            ),
+            self.mesh,
+        )
+        start = int(restored["step"])
+        self.logger.info(f"resumed from {name} at iteration {start}")
+        return start
+
     def train(self, start_iter: int = 0):
         end = time.time()
         for iteration, batch in enumerate(self.source_loader, start_iter):
             if iteration >= self.max_iter:
                 break
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            batch = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, self.mesh)
             if self._use_mt(iteration):
                 ub = next(self.unlabeled_loader)
-                ub = {k: jnp.asarray(v) for k, v in ub.items()}
-                self.state, metrics = self._mt_step(self.state, batch, ub, self.rng)
+                ub = shard_batch({k: jnp.asarray(v) for k, v in ub.items()}, self.mesh)
+                with self.mesh:
+                    self.state, metrics = self._mt_step(self.state, batch, ub, self.rng)
             else:
-                self.state, metrics = self._sup_step(self.state, batch, self.rng)
+                with self.mesh:
+                    self.state, metrics = self._sup_step(self.state, batch, self.rng)
 
             metrics = jax.device_get(metrics)  # one host transfer, not one per scalar
             batch_time = time.time() - end
@@ -92,9 +133,22 @@ class MTTrainer:
         self.save(self.max_iter, final=True)
         return self.state
 
+    @staticmethod
+    def _save_tree(state):
+        """Full resume payload: model + optimizer + step + teacher
+        (reference Checkpointer saves model/optimizer/scheduler,
+        utils/checkpoint.py:34-56)."""
+        return {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": int(state.step),
+            "teacher_params": state.teacher_params,
+        }
+
     def save(self, iteration: int, final: bool = False):
+        host_state = jax.device_get(self.state)
         name = "model_final" if final else f"model_{iteration:07d}"
-        self.ckpt_s.save(name, {"params": self.state.params, "step": int(self.state.step)})
-        if iteration > self.mt.start_mt and self.state.teacher_params is not None:
+        self.ckpt_s.save(name, self._save_tree(host_state))
+        if iteration > self.mt.start_mt and host_state.teacher_params is not None:
             tname = "t_model_final" if final else f"t_model_{iteration:07d}"
-            self.ckpt_t.save(tname, {"params": self.state.teacher_params, "step": int(self.state.step)}, tag=False)
+            self.ckpt_t.save(tname, {"params": host_state.teacher_params, "step": int(host_state.step)}, tag=False)

@@ -94,7 +94,25 @@ class ModelConfig:
 
     @classmethod
     def from_cfg(cls, cfg, train: bool = True) -> "ModelConfig":
+        """Single source of truth for cfg -> model graph.
+
+        Reads the IR-Net head switches (MODEL.RELATION_NMS.USE_RELATION_NMS,
+        MODEL.RELATION_MASK.USE_RELATION — reference
+        generalized_rcnn.py:27-30,63,86-91) and the MGD hint adaptor switch
+        (MT.FG_HINT — roi_box_feature_extractors.py:45-75), so train and
+        eval CLIs build the same flagship graph the config asks for.
+        """
+        from .mask_relation import MaskRelationConfig
+        from .relation import RelationNMSConfig
+
+        use_rel_nms = bool(cfg.MODEL.RELATION_NMS.USE_RELATION_NMS)
+        use_rel_mask = bool(cfg.MODEL.RELATION_MASK.USE_RELATION)
         return cls(
+            with_hint_adaptor=bool(train and cfg.MT.FG_HINT > 0),
+            with_relation_nms=use_rel_nms,
+            relation=RelationNMSConfig.from_cfg(cfg) if use_rel_nms else None,
+            with_relation_mask=use_rel_mask,
+            relation_mask=MaskRelationConfig.from_cfg(cfg) if use_rel_mask else None,
             image_size=cfg.TPU.IMAGE_SIZE,
             num_classes=cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES,
             anchor_sizes=tuple(cfg.MODEL.RPN.ANCHOR_SIZES),
@@ -179,11 +197,25 @@ class MaskRCNN(nn.Module):
         if c.with_relation_nms:
             from .relation import RelationNMS
 
-            self.relation_nms = RelationNMS(config=c.relation, name="relation_nms")
+            # vmap over the batch axis with shared params: one trace for
+            # the whole batch instead of a per-image Python loop
+            self.relation_nms = nn.vmap(
+                RelationNMS,
+                in_axes=0,
+                out_axes=0,
+                variable_axes={"params": None},
+                split_rngs={"params": False},
+            )(config=c.relation, name="relation_nms")
         if c.with_relation_mask:
             from .mask_relation import MaskRelationRefineNet
 
-            self.mask_relation = MaskRelationRefineNet(config=c.relation_mask, name="mask_relation")
+            self.mask_relation = nn.vmap(
+                MaskRelationRefineNet,
+                in_axes=0,
+                out_axes=0,
+                variable_axes={"params": None},
+                split_rngs={"params": False},
+            )(config=c.relation_mask, name="mask_relation")
 
     # -- shared pieces ----------------------------------------------------
     def _anchors(self):
@@ -222,12 +254,9 @@ class MaskRCNN(nn.Module):
         return logits.reshape(b, s, r, r, -1), x.reshape(b, s, p, p, -1)
 
     def _refine_masks(self, mask_logits, mask_feats, labels, valid):
-        """Per-image mask relation refinement (mask_head.py:96-122)."""
-        b = mask_logits.shape[0]
-        out = []
-        for i in range(b):
-            out.append(self.mask_relation(mask_feats[i], mask_logits[i], labels[i], valid[i]))
-        return jnp.stack(out)
+        """Batched mask relation refinement (mask_head.py:96-122),
+        vmapped over images with shared params."""
+        return self.mask_relation(mask_feats, mask_logits, labels, valid)
 
     # -- sub-forwards for the mean-teacher loop ---------------------------
     def backbone_features(self, images):
@@ -340,20 +369,19 @@ class MaskRCNN(nn.Module):
         }
 
         if c.with_relation_nms:
-            # per-image learned-NMS loss (generalized_rcnn.py:63-95)
+            # batched learned-NMS loss (generalized_rcnn.py:63-95)
+            import functools
+
             from .relation import relation_nms_loss
 
             probs = jax.nn.softmax(class_logits.astype(jnp.float32), axis=-1)
-            nms_losses = []
-            for i in range(images.shape[0]):
-                out = self.relation_nms(
-                    box_feats[i], probs[i], box_regression[i], rois.boxes[i],
-                    rois.valid[i], image_sizes[i],
-                )
-                nms_losses.append(
-                    relation_nms_loss(out, gt.boxes[i], gt.labels[i], gt.valid[i], c.relation)
-                )
-            losses["nms_loss"] = jnp.mean(jnp.stack(nms_losses))
+            out = self.relation_nms(
+                box_feats, probs, box_regression, rois.boxes, rois.valid, image_sizes
+            )
+            per_image_loss = jax.vmap(
+                functools.partial(relation_nms_loss, cfg=c.relation)
+            )(out, gt.boxes, gt.labels, gt.valid)
+            losses["nms_loss"] = jnp.mean(per_image_loss)
 
         if c.mask_on:
             m_boxes, m_labels, m_gt_idx, m_valid = MH.select_positive_rois(rois, c.mask_max_pos)
@@ -401,22 +429,19 @@ class MaskRCNN(nn.Module):
         if c.with_relation_nms:
             # learned NMS replaces the classic post-processor at test time
             # (box_head.py:55-65, generalized_rcnn.py:86-91)
+            import functools
+
             from .relation import relation_nms_inference
 
             probs = jax.nn.softmax(class_logits.astype(jnp.float32), axis=-1)
-            per_img = []
-            for i in range(images.shape[0]):
-                out = self.relation_nms(
-                    box_feats[i], probs[i], box_regression[i], proposals.boxes[i],
-                    proposals.valid[i], image_sizes[i],
-                )
-                per_img.append(relation_nms_inference(out, c.relation))
-            dets = Detections(
-                boxes=jnp.stack([p[0] for p in per_img]),
-                scores=jnp.stack([p[1] for p in per_img]),
-                labels=jnp.stack([p[2] for p in per_img]),
-                valid=jnp.stack([p[3] for p in per_img]),
+            out = self.relation_nms(
+                box_feats, probs, box_regression, proposals.boxes,
+                proposals.valid, image_sizes,
             )
+            boxes, scores, labels, valid = jax.vmap(
+                functools.partial(relation_nms_inference, cfg=c.relation)
+            )(out)
+            dets = Detections(boxes=boxes, scores=scores, labels=labels, valid=valid)
         else:
             dets = BH.postprocess_boxes(
                 class_logits,

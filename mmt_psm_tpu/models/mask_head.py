@@ -62,6 +62,7 @@ class MaskRCNNC4Predictor(nn.Module):
 def select_positive_rois(rois: SampledRoIs, max_pos: int):
     """Compact positive RoIs to fixed ``max_pos`` slots per image
     (mask_head/mask_head.py:15-36)."""
+    max_pos = min(max_pos, rois.boxes.shape[1])  # can't exceed the RoI batch
 
     def per_image(boxes, labels, is_pos, matched_gt):
         score = is_pos.astype(jnp.float32)

@@ -59,11 +59,14 @@ class Checkpointer:
         name = name or self.last_name()
         if name is None:
             raise FileNotFoundError(f"no checkpoint in {self.output_dir}")
-        restored = self._ckptr.restore(self.path(name))
         if target is not None:
-            restored = jax.tree_util.tree_map(
+            # restore into the target's pytree structure (optax states are
+            # namedtuple trees that orbax would otherwise return as dicts)
+            item = jax.tree_util.tree_map(np.asarray, target)
+            restored = self._ckptr.restore(self.path(name), item=item)
+            return jax.tree_util.tree_map(
                 lambda t, r: np.asarray(r).astype(np.asarray(t).dtype).reshape(np.shape(t)),
                 target,
                 restored,
             )
-        return restored
+        return self._ckptr.restore(self.path(name))

@@ -26,6 +26,8 @@ def main():
     parser.add_argument("--config-file", default="", type=str)
     parser.add_argument("--synthetic", action="store_true", help="train on synthetic slides")
     parser.add_argument("--weights", default="", type=str, help="torch .pth init (transfer mode)")
+    parser.add_argument("--resume", action="store_true", help="resume from last_checkpoint in output dir")
+    parser.add_argument("--skip-test", action="store_true", help="skip the post-train val sweep")
     parser.add_argument("--output-dir", default="runs/mt", type=str)
     parser.add_argument("opts", nargs=argparse.REMAINDER)
     args = parser.parse_args()
@@ -35,8 +37,6 @@ def main():
     from mmt_psm_tpu.data.pap import PapUnlabeledDataset, synthetic_slide_dataset
     from mmt_psm_tpu.engine.trainer import MTTrainer
     from mmt_psm_tpu.models import MaskRCNN, ModelConfig
-    from mmt_psm_tpu.models.mask_relation import MaskRelationConfig
-    from mmt_psm_tpu.models.relation import RelationNMSConfig
     from mmt_psm_tpu.train.supervised import batch_to_gt
 
     cfg = get_cfg()
@@ -46,15 +46,7 @@ def main():
         cfg.merge_from_list(args.opts)
     cfg.freeze()
 
-    mcfg = ModelConfig.from_cfg(cfg)
-    mcfg = __import__("dataclasses").replace(
-        mcfg,
-        with_hint_adaptor=cfg.MT.FG_HINT > 0,
-        with_relation_nms=cfg.MODEL.RELATION_NMS.USE_RELATION_NMS,
-        relation=RelationNMSConfig.from_cfg(cfg) if cfg.MODEL.RELATION_NMS.USE_RELATION_NMS else None,
-        with_relation_mask=cfg.MODEL.RELATION_MASK.USE_RELATION,
-        relation_mask=MaskRelationConfig.from_cfg(cfg) if cfg.MODEL.RELATION_MASK.USE_RELATION else None,
-    )
+    mcfg = ModelConfig.from_cfg(cfg)  # flagship graph incl. relation heads + hint adaptor
     model = MaskRCNN(config=mcfg)
 
     canvas = mcfg.image_size
@@ -111,7 +103,39 @@ def main():
         f.write(cfg.dump())
 
     trainer = MTTrainer(model, params, cfg, src_loader, unl_loader, output_dir=args.output_dir)
-    trainer.train()
+    start_iter = trainer.resume() if args.resume else 0
+    trainer.train(start_iter)
+
+    if not args.skip_test:
+        # post-train val sweep (reference tools/train_mean_teacher.py:69-101)
+        import dataclasses
+        import json
+
+        from mmt_psm_tpu.data.loader import make_test_loader
+        from mmt_psm_tpu.engine.inference import run_inference
+
+        eval_model = MaskRCNN(config=dataclasses.replace(mcfg, with_hint_adaptor=False))
+        if args.synthetic:
+            val_ds = synthetic_slide_dataset(
+                seed=42, num_slides=2, slide_size=2 * win, win_size=win, overlap=0.0, is_train=False
+            )
+        else:
+            val_ds = None
+        if val_ds is not None:
+            loader = make_test_loader(val_ds, cfg.TEST.IMS_PER_BATCH, canvas, max_gt=cfg.TPU.MAX_GT, min_size=min_size)
+            final_params = {"params": jax.device_get(trainer.state.params)}
+            stats, timing = run_inference(eval_model, final_params, loader)
+            aji = {str(k): v for k, v in stats["AJI"].items()}
+            summary = {
+                "AJI": aji,
+                "AJI_mean": float(np.mean(list(stats["AJI"].values()))) if stats["AJI"] else 0.0,
+                "mAP": stats["mAP"].get("all", -1),
+                "AP50": stats["AP50"].get("all", -1),
+                "images_per_sec": timing["images_per_sec"],
+            }
+            with open(os.path.join(args.output_dir, "final_eval.json"), "w") as f:
+                json.dump(summary, f, indent=2)
+            print("final_eval:", json.dumps(summary))
 
 
 if __name__ == "__main__":
