@@ -67,7 +67,11 @@ def _convert_tensor(kind: str, leaf: str, value: np.ndarray, pooled_hwc=None) ->
     if kind == "conv":
         return "kernel", v.transpose(2, 3, 1, 0)
     if kind == "deconv":
-        return "kernel", v.transpose(2, 3, 0, 1)
+        # torch ConvTranspose2d computes the gradient-of-conv (no spatial
+        # kernel flip); flax nn.ConvTranspose is a fractionally-strided
+        # conv (flipped) — so flip the taps in addition to (in,out,kh,kw)
+        # -> (kh,kw,in,out). Verified numerically in test_torch_parity.py.
+        return "kernel", v.transpose(2, 3, 0, 1)[::-1, ::-1]
     if kind == "linear":
         return "kernel", v.transpose(1, 0)
     if kind == "linear_chw":
