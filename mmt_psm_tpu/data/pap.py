@@ -104,7 +104,23 @@ def crop_window_gt(ann: SlideAnnotations, x: int, y: int, win: int, area_ratio_c
 
 
 class PapDataset:
-    """Labeled sliding-window dataset (train 'source' or eval mode)."""
+    """Labeled sliding-window dataset (train 'source' or eval mode).
+
+    Parity knobs beyond the window/filter pipeline:
+
+    * ``train_ratio`` — keep only the first fraction of train windows
+      (PapNucleiSourceDataset ratio subsetting, Pap.py:494-496);
+    * ``resample_empty`` — when a window's filtered GT comes out empty
+      at train time, draw a replacement index (Pap.py:225-255); with
+      ``require_both_classes`` the redraw also fires unless both
+      foreground classes are present (Pap.py:570-573);
+    * ``cache_dir`` — pre-crop train windows to PNGs once and read them
+      back instead of re-cropping the slide (store_tmp_train_patches,
+      Pap.py:193-223);
+    * ``area_ratio_cutoff`` — the __getitem__ GT filter threshold:
+      the reference uses 0.05 for train/val and 0.005 for test
+      (Pap.py:293, 622).
+    """
 
     def __init__(
         self,
@@ -114,11 +130,22 @@ class PapDataset:
         overlap: float = 0.75,
         is_train: bool = True,
         min_patch_gt_area_ratio: float = 0.001,
+        train_ratio: float = 1.0,
+        resample_empty: bool | None = None,
+        require_both_classes: bool = False,
+        cache_dir: str | None = None,
+        area_ratio_cutoff: float | None = None,
+        seed: int = 0,
     ):
         assert len(slides) == len(annotations)
         self.slides = list(slides)
         self.annotations = list(annotations)
         self.win_size = win_size
+        self.is_train = is_train
+        self.resample_empty = is_train if resample_empty is None else resample_empty
+        self.require_both_classes = require_both_classes
+        self.area_ratio_cutoff = area_ratio_cutoff if area_ratio_cutoff is not None else (0.05 if is_train else 0.005)
+        self._rng = np.random.default_rng(seed)
         self.index = []  # (slide_idx, x, y)
         for si, (slide, ann) in enumerate(zip(self.slides, self.annotations)):
             h, w = self._slide_hw(slide)
@@ -132,6 +159,13 @@ class PapDataset:
                     if area.sum() <= min_patch_gt_area_ratio * win_size**2:
                         continue
                 self.index.append((si, x, y))
+        if is_train and train_ratio < 1.0:
+            # Pap.py:494-496: self.ids = self.ids[: int(total * ratio)]
+            self.index = self.index[: int(len(self.index) * train_ratio)]
+        self.cache_dir = None
+        self._cache_paths = {}
+        if cache_dir is not None and is_train:
+            self._store_tmp_train_patches(cache_dir)
 
     @staticmethod
     def _slide_hw(slide):
@@ -145,13 +179,46 @@ class PapDataset:
         w, h = slide.dimensions
         return h, w
 
+    def _store_tmp_train_patches(self, cache_dir: str):
+        """Crop every train window to a PNG once; reuse existing files
+        (Pap.py:193-223)."""
+        import os
+
+        from PIL import Image
+
+        os.makedirs(cache_dir, exist_ok=True)
+        self.cache_dir = cache_dir
+        for i, (si, x, y) in enumerate(self.index):
+            path = os.path.join(cache_dir, f"slide{si}_{x}_{y}.png")
+            if not os.path.exists(path):
+                Image.fromarray(_read_region(self.slides[si], x, y, self.win_size)).save(path)
+            self._cache_paths[i] = path
+
     def __len__(self):
         return len(self.index)
 
-    def __getitem__(self, i) -> dict:
+    def _read_window(self, i: int) -> np.ndarray:
+        if i in self._cache_paths:
+            from PIL import Image
+
+            return np.asarray(Image.open(self._cache_paths[i]).convert("RGB"))
         si, x, y = self.index[i]
-        img = _read_region(self.slides[si], x, y, self.win_size)
-        boxes, labels, masks = crop_window_gt(self.annotations[si], x, y, self.win_size)
+        return _read_region(self.slides[si], x, y, self.win_size)
+
+    def __getitem__(self, i) -> dict:
+        while True:
+            si, x, y = self.index[i]
+            boxes, labels, masks = crop_window_gt(
+                self.annotations[si], x, y, self.win_size, self.area_ratio_cutoff
+            )
+            bad = len(masks) == 0 or (
+                self.require_both_classes and not {1, 2} <= set(labels.tolist())
+            )
+            if not (bad and self.resample_empty):
+                break
+            # empty-window redraw (Pap.py:225-255, 570-573)
+            i = int(self._rng.integers(len(self.index)))
+        img = self._read_window(i)
         return {
             "image": img,
             "boxes": boxes,

@@ -106,18 +106,38 @@ def run_inference(model, params, batches, categories=(1, 2), max_dets: int = 200
     @jax.jit
     def infer(p, images, sizes):
         d = model.apply(p, images, sizes, train=False)
-        return d.boxes, d.scores, d.labels, d.valid, d.masks
+        return d.boxes, d.scores, d.labels, d.valid, d.masks, d.head_ids
+
+    nms_type = getattr(getattr(model, "config", None), "nms_type", "greedy")
+    nms_thresh = getattr(getattr(model, "config", None), "nms_thresh", 0.5)
+    num_classes = getattr(getattr(model, "config", None), "num_classes", 3)
 
     evaluator = PapEvaluator(categories=categories, max_dets=max_dets)
     n_images = 0
     t0 = time.perf_counter()
     for batch in batches:
-        boxes, scores, labels, valid, masks = jax.device_get(
+        boxes, scores, labels, valid, masks, head_ids = jax.device_get(
             infer(params, batch["image"], batch["image_size"])
         )
-        for i in range(boxes.shape[0]):
+        if masks is None:
+            # box-only model (MASK_ON=False): box-filled 1x1 probs so the
+            # shared InstSeg conversion applies
+            masks = np.ones(boxes.shape[:2] + (1, 1), np.float32)
+        # the test loader pads the final partial batch by repeating the
+        # last sample; only score the real ones
+        n_real = int(batch.get("n_real", boxes.shape[0]))
+        for i in range(n_real):
+            v_i = valid[i]
+            if nms_type == "set" and head_ids is not None:
+                # K_HEAD>1 host set-NMS (reference box_head/inference.py:120-122)
+                from ..models.box_head import set_nms_filter
+
+                v_i = set_nms_filter(
+                    boxes[i], scores[i], labels[i], v_i, head_ids[i],
+                    nms_thresh=nms_thresh, num_classes=num_classes,
+                )
             dt = detections_to_instseg(
-                boxes[i], scores[i], labels[i], valid[i], masks[i], batch["image_size"][i]
+                boxes[i], scores[i], labels[i], v_i, masks[i], batch["image_size"][i]
             )
             gt = gt_to_instseg(
                 np.asarray(batch["boxes"][i]),

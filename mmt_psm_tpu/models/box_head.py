@@ -179,29 +179,46 @@ def postprocess_boxes(
     nms_thresh: float = 0.5,
     detections_per_img: int = 200,
     reg_weights=(10.0, 10.0, 5.0, 5.0),
+    nms_type: str = "greedy",
 ) -> Detections:
-    """Per-class thresh + NMS + global cap (box_head/inference.py:92-145)."""
+    """Per-class thresh + NMS + global cap (box_head/inference.py:92-145).
+
+    nms_type="set" (K_HEAD>1 + MODEL.ROI_HEADS.NMS_TYPE='set',
+    inference.py:120-122): the device pass only thresholds + caps and
+    tags each detection with its source-proposal index; the data-
+    dependent set-NMS itself runs on host (``set_nms_filter``) — its
+    keep set depends on mutable claim bookkeeping that has no fixed-
+    shape formulation worth compiling.
+    """
 
     def per_image(logits, regs, p_boxes, p_valid, img_hw):
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)  # [N, C]
         decoded = bc.decode(regs.astype(jnp.float32), p_boxes, reg_weights)  # [N, 4C]
         decoded = decoded.reshape(-1, num_classes, 4)
         decoded = clip_to_image(decoded, img_hw[0], img_hw[1])
+        prop_idx = jnp.arange(p_boxes.shape[0], dtype=jnp.int32)
 
-        all_boxes, all_scores, all_labels, all_valid = [], [], [], []
+        all_boxes, all_scores, all_labels, all_valid, all_heads = [], [], [], [], []
         for j in range(1, num_classes):
             boxes_j = decoded[:, j, :]
             scores_j = probs[:, j]
             valid_j = p_valid & (scores_j > score_thresh)
-            idx, v = nms_topk(boxes_j, scores_j, valid_j, nms_thresh, detections_per_img)
+            if nms_type == "set":
+                masked_j = jnp.where(valid_j, scores_j, -1e30)
+                _, idx = jax.lax.top_k(masked_j, min(detections_per_img, boxes_j.shape[0]))
+                v = masked_j[idx] > -1e29
+            else:
+                idx, v = nms_topk(boxes_j, scores_j, valid_j, nms_thresh, detections_per_img)
             all_boxes.append(boxes_j[idx])
             all_scores.append(jnp.where(v, scores_j[idx], 0.0))
             all_labels.append(jnp.full(idx.shape, j, jnp.int32))
             all_valid.append(v)
+            all_heads.append(prop_idx[idx])
         boxes = jnp.concatenate(all_boxes, axis=0)
         scores = jnp.concatenate(all_scores, axis=0)
         labels = jnp.concatenate(all_labels, axis=0)
         valid = jnp.concatenate(all_valid, axis=0)
+        heads = jnp.concatenate(all_heads, axis=0)
 
         masked = jnp.where(valid, scores, -1e30)
         top_scores, top_idx = jax.lax.top_k(masked, detections_per_img)
@@ -211,9 +228,37 @@ def postprocess_boxes(
             jnp.where(keep_valid, top_scores, 0.0),
             labels[top_idx],
             keep_valid,
+            heads[top_idx],
         )
 
-    b_boxes, b_scores, b_labels, b_valid = jax.vmap(per_image)(
+    b_boxes, b_scores, b_labels, b_valid, b_heads = jax.vmap(per_image)(
         class_logits, box_regression, proposals.boxes, proposals.valid, image_sizes
     )
-    return Detections(boxes=b_boxes, scores=b_scores, labels=jnp.where(b_valid, b_labels, 0), valid=b_valid)
+    return Detections(
+        boxes=b_boxes,
+        scores=b_scores,
+        labels=jnp.where(b_valid, b_labels, 0),
+        valid=b_valid,
+        head_ids=b_heads if nms_type == "set" else None,
+    )
+
+
+def set_nms_filter(boxes, scores, labels, valid, head_ids, nms_thresh=0.5, num_classes=3):
+    """Host post-step for nms_type="set": per class, run set-NMS over the
+    thresholded detections and clear ``valid`` on suppressed ones
+    (reference set_cpu_nms call, box_head/inference.py:120-122). Inputs
+    are one image's numpy arrays; returns the updated valid mask."""
+    import numpy as np
+
+    from ..ops.python_nms import set_cpu_nms
+
+    valid = np.asarray(valid).copy()
+    for j in range(1, num_classes):
+        sel = np.flatnonzero(valid & (np.asarray(labels) == j))
+        if len(sel) < 2:
+            continue
+        keep = set_cpu_nms(
+            np.asarray(boxes)[sel], np.asarray(scores)[sel], np.asarray(head_ids)[sel], nms_thresh
+        )
+        valid[sel[~keep]] = False
+    return valid

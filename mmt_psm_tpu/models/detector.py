@@ -67,6 +67,9 @@ class ModelConfig:
     score_thresh: float = 0.05
     nms_thresh: float = 0.5
     detections_per_img: int = 200
+    # "greedy" (boxlist_nms) or "set" (K_HEAD>1 set-NMS: device pass tags
+    # head ids, host applies set_cpu_nms — box_head/inference.py:120-122)
+    nms_type: str = "greedy"
     # mask
     mask_on: bool = True
     mask_pooler_resolution: int = 14
@@ -147,6 +150,12 @@ class ModelConfig:
             score_thresh=cfg.MODEL.ROI_HEADS.SCORE_THRESH,
             nms_thresh=cfg.MODEL.ROI_HEADS.NMS,
             detections_per_img=cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG,
+            # set-NMS requires both switches, matching inference.py:120-122
+            nms_type=(
+                "set"
+                if cfg.MODEL.ROI_HEADS.NMS_TYPE == "set" and cfg.MODEL.ROI_BOX_HEAD.K_HEAD > 1
+                else "greedy"
+            ),
             mask_on=cfg.MODEL.MASK_ON,
             mask_pooler_resolution=cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
             mask_pooler_sampling=cfg.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO or 2,
@@ -453,6 +462,7 @@ class MaskRCNN(nn.Module):
                 nms_thresh=c.nms_thresh,
                 detections_per_img=c.detections_per_img,
                 reg_weights=c.reg_weights,
+                nms_type=c.nms_type,
             )
         if c.mask_on:
             mask_logits, mask_feats = self._mask_forward(features, dets.boxes)

@@ -57,3 +57,30 @@ def match(
         force = jnp.any(is_best, axis=0)  # [N]
         matches = jnp.where(force, all_matches, matches)
     return matches
+
+
+@partial(jax.jit, static_argnames=("high_threshold", "low_threshold", "top_k"))
+def match_topk(
+    quality: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    high_threshold: float,
+    low_threshold: float,
+    top_k: int = 2,
+) -> jnp.ndarray:
+    """The K_HEAD>1 matcher branch (matcher.py:89-108): per prediction the
+    ``top_k`` best ground truths by quality, each stratified independently
+    against the thresholds. No low-quality forcing — the reference's only
+    top_k caller passes allow_low_quality_matches=False
+    (box_head/loss.py:293-294).
+
+    Returns i32[top_k, N] (row 0 = best match, identical to ``match``
+    without low-quality forcing).
+    """
+    q = jnp.where(gt_valid[:, None], quality, _NEG)
+    vals, matches = jax.lax.top_k(q.T, top_k)  # [N, K] along gt dim
+    vals, matches = vals.T, matches.T.astype(jnp.int32)
+    below = vals < low_threshold
+    between = (vals >= low_threshold) & (vals < high_threshold)
+    matches = jnp.where(below, BELOW_LOW_THRESHOLD, matches)
+    matches = jnp.where(between, BETWEEN_THRESHOLDS, matches)
+    return matches

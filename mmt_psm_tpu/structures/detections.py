@@ -41,3 +41,7 @@ class Detections:
     labels: jnp.ndarray  # i32 [B, K]
     valid: jnp.ndarray  # bool [B, K]
     masks: jnp.ndarray | None = None  # f32 [B, K, R, R] mask-head probs (28x28)
+    # source-proposal index per detection, only set by the nms_type="set"
+    # path (K_HEAD>1): the host set-NMS pass keeps overlapping boxes that
+    # share a head id (reference box_head/inference.py:66-67, 120-122)
+    head_ids: jnp.ndarray | None = None  # i32 [B, K]

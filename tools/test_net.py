@@ -49,7 +49,19 @@ def main():
         ds = synthetic_slide_dataset(seed=42, num_slides=2, slide_size=2 * win, win_size=win, overlap=0.0, is_train=False)
         min_size = win
     else:
-        raise SystemExit("Real pap data requires slide paths; use --synthetic.")
+        # resolve the eval split through the catalog; MODE_IN_TEST picks
+        # val vs test (reference tools/test_net.py:257, defaults.py:42)
+        from mmt_psm_tpu.data.catalog import DatasetCatalog, build_datasets
+
+        names = cfg.DATASETS.VAL if cfg.DATASETS.MODE_IN_TEST == "val" else cfg.DATASETS.TEST
+        if not names:
+            raise SystemExit(
+                f"cfg.DATASETS.{cfg.DATASETS.MODE_IN_TEST.upper()} is empty — "
+                f"name catalog datasets (known: {sorted(DatasetCatalog.DATASETS)}) "
+                "or pass --synthetic."
+            )
+        ds = build_datasets(names)
+        min_size = min(cfg.INPUT.MIN_SIZE_TEST, canvas)
 
     ckpt = Checkpointer(args.ckpt_dir)
     names = sorted(
@@ -65,7 +77,10 @@ def main():
     for name in names:
         restored = ckpt.load(name)
         params = {"params": restored["params"]}
-        loader = make_test_loader(ds, cfg.TEST.IMS_PER_BATCH, canvas, max_gt=cfg.TPU.MAX_GT, min_size=min_size)
+        loader = make_test_loader(
+            ds, cfg.TEST.IMS_PER_BATCH, canvas, max_gt=cfg.TPU.MAX_GT,
+            min_size=min_size, max_size=canvas,
+        )
         stats, timing = run_inference(model, params, loader)
         aji = stats["AJI"]
         results[name] = {

@@ -61,21 +61,32 @@ def main():
         unlabeled_ds = PapUnlabeledDataset(patches)
         min_size = win
     else:
-        raise SystemExit(
-            "Real pap data loading requires slide paths + annotations; "
-            "see mmt_psm_tpu/data/pap.py (the reference's image list is "
-            "likewise a user-supplied stub, Pap.py:40-44). Use --synthetic."
-        )
+        # real-data path: resolve cfg.DATASETS.* through the catalog
+        # (reference data/build.py:19-68 + config/paths_catalog.py:113-174)
+        from mmt_psm_tpu.data.catalog import DatasetCatalog, build_datasets
+
+        if not cfg.DATASETS.TRAIN:
+            raise SystemExit(
+                "cfg.DATASETS.TRAIN is empty — name catalog datasets "
+                f"(known: {sorted(DatasetCatalog.DATASETS)}, or coco_* dirs "
+                f"under {DatasetCatalog.DATA_DIR}) or pass --synthetic."
+            )
+        source_ds = build_datasets(cfg.DATASETS.TRAIN)
+        unlabeled_ds = build_datasets(cfg.DATASETS.GEN) if cfg.DATASETS.NO_LABEL else None
+        # resized images must fit the static canvas (max_size caps the
+        # long side; pad_to_canvas asserts h,w <= canvas)
+        min_size = min(cfg.INPUT.MIN_SIZE_TRAIN, canvas)
 
     src_loader = make_source_loader(
-        source_ds, cfg.SOLVER.IMS_PER_BATCH, canvas, max_gt=cfg.TPU.MAX_GT, min_size=min_size
+        source_ds, cfg.SOLVER.IMS_PER_BATCH, canvas, max_gt=cfg.TPU.MAX_GT,
+        min_size=min_size, max_size=canvas,
     )
     unl_loader = (
         make_unlabeled_loader(
             unlabeled_ds, cfg.SOLVER.IMS_PER_BATCH, canvas,
-            aug_k=cfg.MT.AUG_K, aug_s=cfg.MT.AUG_S, min_size=min_size,
+            aug_k=cfg.MT.AUG_K, aug_s=cfg.MT.AUG_S, min_size=min_size, max_size=canvas,
         )
-        if cfg.DATASETS.NO_LABEL
+        if cfg.DATASETS.NO_LABEL and unlabeled_ds is not None
         else None
     )
 
@@ -92,9 +103,12 @@ def main():
     )["params"]
 
     if args.weights:
-        from mmt_psm_tpu.utils.torch_import import load_torch_checkpoint
+        # resolves catalog:// names, cached URLs, Caffe2 .pkl, torch .pth
+        # (reference DetectronCheckpointer._load_file, checkpoint.py:178-201)
+        from mmt_psm_tpu.utils.c2_loading import load_checkpoint_file
 
-        params, report = load_torch_checkpoint(args.weights, params, transfer=True)
+        arch = "R-101" if "101" in cfg.MODEL.BACKBONE.CONV_BODY else "R-50"
+        params, report = load_checkpoint_file(args.weights, params, transfer=True, arch=arch)
         print(f"loaded {len(report['loaded'])} tensors from {args.weights}; "
               f"missing {len(report['missing'])}, mismatched {len(report['mismatched'])}")
 
@@ -120,9 +134,14 @@ def main():
                 seed=42, num_slides=2, slide_size=2 * win, win_size=win, overlap=0.0, is_train=False
             )
         else:
-            val_ds = None
+            from mmt_psm_tpu.data.catalog import build_datasets as _build
+
+            val_ds = _build(cfg.DATASETS.VAL) if cfg.DATASETS.VAL else None
         if val_ds is not None:
-            loader = make_test_loader(val_ds, cfg.TEST.IMS_PER_BATCH, canvas, max_gt=cfg.TPU.MAX_GT, min_size=min_size)
+            loader = make_test_loader(
+                val_ds, cfg.TEST.IMS_PER_BATCH, canvas, max_gt=cfg.TPU.MAX_GT,
+                min_size=min_size, max_size=canvas,
+            )
             final_params = {"params": jax.device_get(trainer.state.params)}
             stats, timing = run_inference(eval_model, final_params, loader)
             aji = {str(k): v for k, v in stats["AJI"].items()}
