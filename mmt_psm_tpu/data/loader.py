@@ -138,6 +138,59 @@ def make_unlabeled_loader(
     return gen()
 
 
+def make_tta_loader(
+    dataset,
+    batch_size: int,
+    canvas: int,
+    tta_k: int = 2,
+    max_gt: int = 64,
+    mask_size: int | None = None,
+    min_size: int = 800,
+    max_size: int = 1333,
+    seed: int = 3,
+):
+    """Test-time-augmentation batches (TEST.TTA): per sample one geometric
+    transform, ``tta_k`` color/erase views stacked under "tta_views" with
+    view 0 duplicated as "image" (reference TTABatchCollator +
+    build_transforms tta, data/build.py:301-302, transforms/build.py:65-79).
+
+    Scope note: the reference's model accepts a ``tta`` flag but never
+    reads it (generalized_rcnn.py:42) and its inference entry hardcodes
+    tta=False (engine/inference.py:95) — TTA there is collation-only. We
+    expose the same surface; consumers run views through run_inference
+    individually and merge however they choose.
+    """
+    rng = np.random.default_rng(seed)
+
+    def gen():
+        n = len(dataset)
+        for start in range(0, n, batch_size):
+            idxs = list(range(start, min(start + batch_size, n)))
+            n_real = len(idxs)
+            while len(idxs) < batch_size:
+                idxs.append(idxs[-1])
+            samples, views = [], []
+            for idx in idxs:
+                s = dataset[int(idx)]
+                s = T.tta_transform(s, rng, tta_k, min_size, max_size)
+                vs = s.pop("views")
+                h, w = vs[0].shape[:2]
+                padded = []
+                for v in vs:
+                    c = np.zeros((canvas, canvas, 3), np.float32)
+                    c[:h, :w] = v
+                    padded.append(c)
+                views.append(np.stack(padded))
+                s["image"] = vs[0]
+                samples.append(pad_to_canvas(s, canvas, max_gt, mask_size))
+            batch = _stack(samples)
+            batch["tta_views"] = np.stack(views)  # [B, K, H, W, 3]
+            batch["n_real"] = n_real
+            yield batch
+
+    return gen()
+
+
 def make_test_loader(
     dataset,
     batch_size: int,

@@ -76,6 +76,10 @@ class ModelConfig:
     mask_pooler_sampling: int = 2
     mask_resolution: int = 28
     mask_max_pos: int = 128
+    # "MaskRCNNFPNFeatureExtractor" (FPN pooler + conv stack) or
+    # "PRCNNFeatureExtractor" (CSPN baseline over the raw image,
+    # roi_mask_feature_extractors.py:9-88)
+    mask_extractor: str = "MaskRCNNFPNFeatureExtractor"
     # backbone
     backbone_out_channels: int = 256
     freeze_at: int = 2
@@ -160,6 +164,7 @@ class ModelConfig:
             mask_pooler_resolution=cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
             mask_pooler_sampling=cfg.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO or 2,
             mask_resolution=cfg.MODEL.ROI_MASK_HEAD.RESOLUTION,
+            mask_extractor=cfg.MODEL.ROI_MASK_HEAD.FEATURE_EXTRACTOR,
             backbone_out_channels=cfg.MODEL.BACKBONE.OUT_CHANNELS,
             freeze_at=cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT,
             compute_dtype=cfg.TPU.COMPUTE_DTYPE,
@@ -199,8 +204,20 @@ class MaskRCNN(nn.Module):
         self.box_extractor = BH.FPN2MLPExtractor(mlp_dim=c.mlp_dim, dropout=c.box_head_dropout, dtype=dt, name="box_extractor")
         self.box_predictor = BH.FPNPredictor(num_classes=c.num_classes, dtype=dt, name="box_predictor")
         if c.mask_on:
-            self.mask_extractor = MH.MaskRCNNFPNExtractor(dtype=dt, name="mask_extractor")
-            self.mask_predictor = MH.MaskRCNNC4Predictor(num_classes=c.num_classes, dtype=dt, name="mask_predictor")
+            if c.mask_extractor == "PRCNNFeatureExtractor":
+                # CSPN baseline: conv tower over the raw image, batched by
+                # nn.vmap with shared params (roi_mask_feature_extractors.py:9-88)
+                self.mask_extractor = nn.vmap(
+                    MH.PRCNNExtractor,
+                    in_axes=0,
+                    out_axes=0,
+                    variable_axes={"params": None},
+                    split_rngs={"params": False},
+                )(dtype=dt, name="mask_extractor")
+                self.mask_predictor = MH.PRCNNPredictor(num_classes=c.num_classes, dtype=dt, name="mask_predictor")
+            else:
+                self.mask_extractor = MH.MaskRCNNFPNExtractor(dtype=dt, name="mask_extractor")
+                self.mask_predictor = MH.MaskRCNNC4Predictor(num_classes=c.num_classes, dtype=dt, name="mask_predictor")
         if c.with_hint_adaptor:
             self.hint_adaptor = HintAdaptor(out_dim=c.hint_dim, dtype=dt, name="hint_adaptor")
         if c.with_relation_nms:
@@ -248,8 +265,13 @@ class MaskRCNN(nn.Module):
         logits, regs = self.box_predictor(feats)
         return logits.reshape(b, s, -1), regs.reshape(b, s, -1), feats.reshape(b, s, -1)
 
-    def _mask_forward(self, features, boxes):
+    def _mask_forward(self, features, boxes, images=None):
         c = self.config
+        if c.mask_extractor == "PRCNNFeatureExtractor":
+            # CSPN baseline path: extractor runs on the raw image
+            x = self.mask_extractor(images, boxes)  # [B, S, 25, 25, 32]
+            logits = self.mask_predictor(x)
+            return logits, x
         pooled = BH.pool_boxes_batched(
             features, boxes, c.pooler_scales, c.mask_pooler_resolution, c.mask_pooler_sampling,
             impl=c.roi_align_impl,
@@ -265,7 +287,14 @@ class MaskRCNN(nn.Module):
     def _refine_masks(self, mask_logits, mask_feats, labels, valid):
         """Batched mask relation refinement (mask_head.py:96-122),
         vmapped over images with shared params."""
-        return self.mask_relation(mask_feats, mask_logits, labels, valid)
+        out = self.mask_relation(mask_feats, mask_logits, labels, valid)
+        if self.config.relation_mask.same_predictor:
+            # SAME_PREDICTOR: refined features go through the shared mask
+            # predictor (mask_relation_module.py:97-101)
+            feats, keep = out
+            refined = self.mask_predictor(feats)
+            return jnp.where(keep, refined, mask_logits)
+        return out
 
     # -- sub-forwards for the mean-teacher loop ---------------------------
     def backbone_features(self, images):
@@ -394,13 +423,15 @@ class MaskRCNN(nn.Module):
 
         if c.mask_on:
             m_boxes, m_labels, m_gt_idx, m_valid = MH.select_positive_rois(rois, c.mask_max_pos)
-            mask_logits, mask_feats = self._mask_forward(features, m_boxes)
+            mask_logits, mask_feats = self._mask_forward(features, m_boxes, images)
 
             # gather each RoI's matched gt mask and project into the box
             def per_image(masks_i, gt_idx_i, boxes_i):
                 src = masks_i[gt_idx_i]  # [S, Hm, Wm]
                 scale = gt.masks.shape[-1] / c.image_size
-                return MH.crop_masks_to_boxes(src, boxes_i * scale, c.mask_resolution)
+                # target resolution follows the predictor's output (25 for
+                # the PRCNN baseline, RESOLUTION otherwise)
+                return MH.crop_masks_to_boxes(src, boxes_i * scale, mask_logits.shape[2])
 
             mask_targets = jax.vmap(per_image)(gt.masks, m_gt_idx, m_boxes)
             loss_mask_1 = MH.mask_head_loss(mask_logits, mask_targets, m_labels, m_valid)
@@ -465,7 +496,7 @@ class MaskRCNN(nn.Module):
                 nms_type=c.nms_type,
             )
         if c.mask_on:
-            mask_logits, mask_feats = self._mask_forward(features, dets.boxes)
+            mask_logits, mask_feats = self._mask_forward(features, dets.boxes, images)
             if c.with_relation_mask:
                 mask_logits = self._refine_masks(mask_logits, mask_feats, dets.labels, dets.valid)
             probs = MH.select_mask_probs(mask_logits, dets.labels)

@@ -45,6 +45,61 @@ class MaskRCNNFPNExtractor(nn.Module):
         return x
 
 
+class PRCNNExtractor(nn.Module):
+    """CSPN-baseline second-stage extractor (reference
+    roi_mask_feature_extractors.py:9-88 PRCNNFeatureExtractor): its own
+    8-conv tower over the RAW normalized image with RoI-align pooling at
+    four image scales (1, 1/2, 1/4, 1/8) into 25x25 bins, fused by
+    posconv1 (480->256, relu) and posconv2 (256->32, linear).
+
+    Per-image: image [H, W, 3] + boxes [S, 4] -> [S, 25, 25, 32].
+    Wrap with nn.vmap for a batch (shared params)."""
+
+    pool_size: int = 25
+    sampling: int = 2
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, image, boxes):
+        init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+        def conv(x, ch, name):
+            return nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=init, dtype=self.dtype, name=name)(x)
+
+        def down(x):
+            return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        x = image.astype(self.dtype or jnp.float32)
+        pooled = []
+        channels = ((32, 32), (64, 64), (128, 128), (256, 256))
+        for stage, (c1, c2) in enumerate(channels):
+            x = nn.relu(conv(x, c1, f"conv{2*stage+1}"))
+            x = nn.relu(conv(x, c2, f"conv{2*stage+2}"))
+            scale = 0.5**stage
+            pooled.append(
+                roi_align(x.astype(jnp.float32), boxes, scale, self.pool_size, self.sampling)
+            )
+            if stage < 3:
+                x = down(x)
+        cat = jnp.concatenate(pooled, axis=-1)  # [S, 25, 25, 480]
+        cat = nn.relu(conv(cat.astype(self.dtype or jnp.float32), 256, "posconv1"))
+        return conv(cat, 32, "posconv2")
+
+
+class PRCNNPredictor(nn.Module):
+    """relu + 1x1 logits (roi_mask_predictors.py:39-53)."""
+
+    num_classes: int = 3
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+        return nn.Conv(
+            self.num_classes, (1, 1), kernel_init=init, dtype=self.dtype, name="mask_fcn_logits"
+        )(nn.relu(x))
+
+
 class MaskRCNNC4Predictor(nn.Module):
     num_classes: int = 3
     dim_reduced: int = 256

@@ -38,6 +38,16 @@ class MaskRelationConfig:
     norm: int = -1
     pre_norm: bool = False
     num_classes: int = 3
+    # feature extractor variant (relation_mask_feature_extractor.py:140-152):
+    # RoiAlignMaskFeatureExtractor / SameSizeRoiAlignMaskFeatureExtractor
+    # (RoI+mask concat conv stack), DeepFeatureExtractor (RoI only),
+    # MaskFeatureExtractor (own-class mask only), SameFeatureMask (RoI
+    # passthrough)
+    extractor: str = "RoiAlignMaskFeatureExtractor"
+    # route refined features through the shared mask predictor instead of
+    # the refine net's own deconv+classifier (SAME_PREDICTOR,
+    # mask_relation_module.py:46-51, 97-107)
+    same_predictor: bool = False
 
     @classmethod
     def from_cfg(cls, cfg):
@@ -49,6 +59,8 @@ class MaskRelationConfig:
             norm=r.NORM,
             pre_norm=r.PRE_NORM,
             num_classes=cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES,
+            extractor=r.FEATURE_EXTRACTOR,
+            same_predictor=r.SAME_PREDICTOR,
         )
 
 
@@ -102,6 +114,24 @@ def _cam_attention(x, gamma):
     return (gamma * out + xf).astype(x.dtype)
 
 
+class ShapeBuffer(nn.Module):
+    """Learnable per-class mask shape centers
+    (relation_mask_feature_extractor.py:156-169): a
+    [2*CENTER_PER_CLASS, R, R, 1] parameter bank, xavier-initialized;
+    retained for API parity with the TRAIN_CENTER_ONLY experiments."""
+
+    center_per_class: int = 8
+    resolution: int = 28
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "center",
+            nn.initializers.xavier_normal(),
+            (2 * self.center_per_class, self.resolution, self.resolution, 1),
+        )
+
+
 class MaskRelationRefineNet(nn.Module):
     config: MaskRelationConfig
 
@@ -120,10 +150,27 @@ class MaskRelationRefineNet(nn.Module):
         own = jnp.take_along_axis(mask_logits, lab[:, None, None, None], axis=-1)[..., 0]
         m = jax.nn.sigmoid(own.astype(jnp.float32))[..., None]  # [S, 2P, 2P, 1]
         mp = nn.max_pool(m, (2, 2), strides=(2, 2))  # [S, P, P, 1]
-        x = jnp.concatenate([roi_feats.astype(jnp.float32), mp], axis=-1)  # 257ch
-        for i in range(3):
-            x = nn.relu(nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=init, name=f"mask_fcn{i+1}")(x))
-        x = nn.relu(nn.Conv(c.extractor_channel, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=init, name="extractor_conv5")(x))
+
+        def conv_stack(x):
+            for i in range(3):
+                x = nn.relu(nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=init, name=f"mask_fcn{i+1}")(x))
+            return nn.relu(
+                nn.Conv(c.extractor_channel, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=init, name="extractor_conv5")(x)
+            )
+
+        if c.extractor in ("RoiAlignMaskFeatureExtractor", "SameSizeRoiAlignMaskFeatureExtractor"):
+            x = conv_stack(jnp.concatenate([roi_feats.astype(jnp.float32), mp], axis=-1))  # 257ch
+        elif c.extractor == "DeepFeatureExtractor":
+            # RoI features only, no mask concat (:119-135)
+            x = conv_stack(roi_feats.astype(jnp.float32))
+        elif c.extractor == "MaskFeatureExtractor":
+            # own-class mask only (:113-117)
+            x = mp
+        elif c.extractor == "SameFeatureMask":
+            # RoI passthrough (:120-124 SameFeatureMask)
+            x = roi_feats.astype(jnp.float32)
+        else:
+            raise ValueError(f"unknown relation mask extractor {c.extractor!r}")
 
         gamma = self.param("gamma", nn.initializers.zeros, (1,))
         if c.type == "CIAM":
@@ -131,9 +178,13 @@ class MaskRelationRefineNet(nn.Module):
         else:
             x = _cam_attention(x, gamma)
 
+        keep = (valid & (labels > 0))[:, None, None, None]
+        if c.same_predictor:
+            # the detector routes these through the shared mask predictor
+            # (mask_relation_module.py:97-101)
+            return x, keep
         x = nn.relu(
-            nn.ConvTranspose(c.extractor_channel, (2, 2), strides=(2, 2), kernel_init=init, name="deconv_1")(x)
+            nn.ConvTranspose(x.shape[-1], (2, 2), strides=(2, 2), kernel_init=init, name="deconv_1")(x)
         )
         refined = nn.Conv(c.num_classes, (1, 1), kernel_init=init, name="classifier")(x)
-        keep = (valid & (labels > 0))[:, None, None, None]
         return jnp.where(keep, refined, mask_logits)

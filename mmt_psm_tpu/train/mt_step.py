@@ -74,6 +74,10 @@ class MTConfig:
     # config/defaults.py:356-357)
     odkd: bool = False
     ffi: bool = False
+    # pseudo-label training: the consistency batch carries real GT and
+    # the teacher uses it instead of its own inference
+    # (MT.PLTRAIN, generalized_rcnn.py:133-138)
+    pltrain: bool = False
 
     @classmethod
     def from_cfg(cls, cfg) -> "MTConfig":
@@ -97,6 +101,7 @@ class MTConfig:
             flip=cfg.MT.FLIP,
             odkd=cfg.MT.ODKD,
             ffi=cfg.MT.FFI,
+            pltrain=cfg.MT.PLTRAIN,
         )
 
 
@@ -294,12 +299,28 @@ def weight_sum_losses(loss_dict, step, mt: MTConfig):
 
 
 # ------------------------------------------------------------ unlabeled pass
-def unlabeled_losses(model, student_params, teacher_params, batch, rng, mt: MTConfig):
+def gt_integral_canvas(masks, valid, canvas_size: int):
+    """Integral foreground canvas from full-frame GT bitmasks: per-image
+    sum of instance masks, nearest-resampled to the MGD canvas (the
+    PLTRAIN branch's masks.decode path, generalized_rcnn.py:133-138).
+    masks: [B, M, Hm, Wm]; valid: [B, M]."""
+    m = (masks > 0).astype(jnp.float32) * valid[:, :, None, None].astype(jnp.float32)
+    integral = jnp.sum(m, axis=1)  # [B, Hm, Wm]
+    step = integral.shape[1] // canvas_size
+    if step > 1:
+        integral = integral[:, ::step, ::step]
+    return integral[:, :canvas_size, :canvas_size]
+
+
+def unlabeled_losses(model, student_params, teacher_params, batch, rng, mt: MTConfig, targets=None):
     """Teacher pseudo-labeling + student consistency losses for one
     unlabeled K-aug batch.
 
     batch: {"t_images": [B, K, H, W, 3], "s_images": [B, S, H, W, 3],
             "image_size": [B, 2]}.
+    targets: optional GroundTruth (with masks) — the PLTRAIN branch
+    (generalized_rcnn.py:133-138): the teacher skips its own inference
+    and uses the given labels as the consistency targets.
     """
     c = model.config
     t_images = batch["t_images"]
@@ -310,18 +331,25 @@ def unlabeled_losses(model, student_params, teacher_params, batch, rng, mt: MTCo
 
     use_mgd = mt.fg_hint > 0 and model.config.with_hint_adaptor
     use_psm = mt.cls_loss_weight > 0
+    canvas_size = c.image_size // mt.mgd_canvas_stride
 
     # ---- teacher (no grad) ---------------------------------------------
-    dets = model.apply(tvars, t_images[:, 0], sizes, train=False)
-    dets = jax.lax.stop_gradient(dets)
-    pseudo = GroundTruth(boxes=dets.boxes, labels=dets.labels, valid=dets.valid)
+    if targets is not None:
+        pseudo = GroundTruth(boxes=targets.boxes, labels=targets.labels, valid=targets.valid)
+        dets = None
+        integral = (
+            gt_integral_canvas(targets.masks, targets.valid, canvas_size) if use_mgd else None
+        )
+    else:
+        dets = model.apply(tvars, t_images[:, 0], sizes, train=False)
+        dets = jax.lax.stop_gradient(dets)
+        pseudo = GroundTruth(boxes=dets.boxes, labels=dets.labels, valid=dets.valid)
 
-    integral = None
-    if use_mgd:
-        canvas_size = c.image_size // mt.mgd_canvas_stride
-        integral = jax.vmap(
-            lambda m, b, v: paste_integral(m, b, v, canvas_size, float(mt.mgd_canvas_stride))
-        )(dets.masks, dets.boxes, dets.valid)  # [B, Hc, Wc]
+        integral = None
+        if use_mgd:
+            integral = jax.vmap(
+                lambda m, b, v: paste_integral(m, b, v, canvas_size, float(mt.mgd_canvas_stride))
+            )(dets.masks, dets.boxes, dets.valid)  # [B, Hc, Wc]
 
     # 2K teacher feature pyramids: each aug view and its flip
     t_feats = []
@@ -399,10 +427,9 @@ def unlabeled_losses(model, student_params, teacher_params, batch, rng, mt: MTCo
         t_emb0 = model.apply(tvars, t_feats[0], method=model.hint_embeddings)
         s_emb0 = model.apply(svars, s_feats[0], method=model.hint_embeddings)
         if mt.ffi:
-            canvas_size = c.image_size // mt.mgd_canvas_stride
             canvas = jax.vmap(
                 lambda bx, v: boxes_to_canvas(bx, v, canvas_size, float(mt.mgd_canvas_stride))
-            )(dets.boxes, dets.valid)
+            )(pseudo.boxes, pseudo.valid)
             losses["mt_hint_loss"] = ffi_hint_loss(t_emb0, s_emb0, canvas)
         else:
             losses["mt_hint_loss"] = naive_hint_loss(t_emb0, s_emb0)
@@ -431,8 +458,16 @@ def make_mt_step(model, tx, mt: MTConfig):
                 train=True,
                 rngs={"sample": r_sample, "dropout": r_drop},
             )
+            # PLTRAIN: consistency batches that carry GT feed the teacher
+            # directly (generalized_rcnn.py:133-138)
+            u_targets = (
+                batch_to_gt(unlabeled_batch)
+                if mt.pltrain and "boxes" in unlabeled_batch
+                else None
+            )
             mt_losses = unlabeled_losses(
-                model, p, state.teacher_params, unlabeled_batch, r_unlabeled, mt
+                model, p, state.teacher_params, unlabeled_batch, r_unlabeled, mt,
+                targets=u_targets,
             )
             all_losses = {**sup, **mt_losses}
             weighted = weight_sum_losses(all_losses, state.step, mt)

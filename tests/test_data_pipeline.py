@@ -111,3 +111,20 @@ def test_test_loader_partial_batch():
     assert total == len(ds)
     for b in batches:
         assert b["image"].shape[0] == 3
+
+
+def test_tta_loader_shapes():
+    """TTA batches: K padded color views + standard eval keys
+    (reference TTABatchCollator, data/build.py:301-302)."""
+    from mmt_psm_tpu.data.loader import make_tta_loader
+    from mmt_psm_tpu.data.pap import synthetic_slide_dataset
+
+    ds = synthetic_slide_dataset(seed=1, num_slides=1, slide_size=128, win_size=128, is_train=False)
+    loader = make_tta_loader(ds, batch_size=1, canvas=128, tta_k=3, max_gt=8, min_size=128, max_size=128)
+    batch = next(loader)
+    assert batch["tta_views"].shape == (1, 3, 128, 128, 3)
+    assert batch["image"].shape == (1, 128, 128, 3)
+    assert batch["n_real"] == 1
+    import numpy as np
+
+    np.testing.assert_allclose(batch["tta_views"][0, 0], batch["image"][0])

@@ -136,6 +136,8 @@ def test_list_dataset(tmp_path):
 
 TINY_OPTS = [
     "MODEL.MASK_ON", "True",
+    "MODEL.ROI_MASK_HEAD.RESOLUTION", "28",
+    "MODEL.ROI_MASK_HEAD.POOLER_SCALES", "(0.25, 0.125, 0.0625, 0.03125)",
     "TPU.IMAGE_SIZE", "128",
     "TPU.MAX_GT", "16",
     "TPU.COMPUTE_DTYPE", "float32",
