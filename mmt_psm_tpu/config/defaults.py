@@ -296,6 +296,13 @@ def _default_config() -> ConfigNode:
     C.TPU.MESH_SHAPE = (-1,)
     # ROIAlign implementation: "gather" (exact XLA) or "mxu" (windowed einsum).
     C.TPU.ROI_ALIGN_IMPL = "gather"
+    # jax.profiler trace capture: write a trace of iterations
+    # [PROFILE_START, PROFILE_START+PROFILE_STEPS) into PROFILE_DIR
+    # (empty = off). The reference has only wall-clock meters
+    # (MTtrainer.py:198-221); this is the TPU-native tracing subsystem.
+    C.TPU.PROFILE_DIR = ""
+    C.TPU.PROFILE_START = 5
+    C.TPU.PROFILE_STEPS = 3
 
     C.OUTPUT_DIR = "."
     return C

@@ -104,9 +104,22 @@ class MTTrainer:
 
     def train(self, start_iter: int = 0):
         end = time.time()
+        prof_dir = getattr(self.cfg.TPU, "PROFILE_DIR", "")
+        prof_start = getattr(self.cfg.TPU, "PROFILE_START", 5)
+        prof_stop = prof_start + getattr(self.cfg.TPU, "PROFILE_STEPS", 3)
+        profiling = False
         for iteration, batch in enumerate(self.source_loader, start_iter):
             if iteration >= self.max_iter:
                 break
+            # jax.profiler trace window (TPU tracing subsystem; the
+            # reference has wall-clock meters only, MTtrainer.py:198-221)
+            if prof_dir and iteration == prof_start and not profiling:
+                jax.profiler.start_trace(prof_dir)
+                profiling = True
+            if profiling and iteration >= prof_stop:
+                jax.profiler.stop_trace()
+                profiling = False
+                self.logger.info(f"profiler trace written to {prof_dir}")
             batch = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, self.mesh)
             if self._use_mt(iteration):
                 ub = next(self.unlabeled_loader)
@@ -130,6 +143,8 @@ class MTTrainer:
                 )
             if self.checkpoint_period and iteration > 0 and iteration % self.checkpoint_period == 0:
                 self.save(iteration)
+        if profiling:
+            jax.profiler.stop_trace()
         self.save(self.max_iter, final=True)
         return self.state
 

@@ -1,8 +1,11 @@
+import os
 import sys
 
 import numpy as np
 
 from mmt_psm_tpu.config import get_cfg
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_our_pap_config_loads_and_builds_model_config():
@@ -38,3 +41,31 @@ def test_split_folds():
     flat = sorted(n for f in folds for n in f)
     assert flat == sorted(names)
     assert split_folds(names, 3, seed=1) == folds  # deterministic
+
+
+def test_plot_metric_curves(tmp_path):
+    """Checkpoint-sweep metric plots (reference tools/test_net.py:151-233)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "test_net_tool", os.path.join(REPO, "tools", "test_net.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fake = {"AJI_mean": 0.5, "mAP": 0.4, "AP50": 0.6, "AP75": 0.3, "AP85": 0.1}
+    results = {"model_0000001": dict(fake), "model_0000002": dict(fake), "t_model_0000002": dict(fake)}
+    mod.plot_metric_curves(results, str(tmp_path))
+    assert os.path.isfile(os.path.join(tmp_path, "metrics.png"))
+
+
+def test_webcam_tool_parses():
+    """The webcam demo (reference demo/webcam.py) is importable and has
+    the reference CLI surface; no camera in CI so main() is not run."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "webcam_tool", os.path.join(REPO, "tools", "webcam.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert callable(mod.main)

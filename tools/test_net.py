@@ -100,7 +100,40 @@ def main():
     best = max(results, key=lambda n: results[n]["AJI_mean"])
     with open(os.path.join(out_dir, "best_result.json"), "w") as f:
         json.dump({best: results[best]}, f, indent=2)
+    plot_metric_curves(results, out_dir)
     print("best:", best, results[best]["AJI_mean"])
+
+
+def plot_metric_curves(results: dict, out_dir: str):
+    """AJI/mAP/AP curves over the checkpoint sweep, student vs teacher
+    series (reference tools/test_net.py:151-233)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    series = {
+        "student": sorted(n for n in results if not n.startswith("t_model")),
+        "teacher": sorted(n for n in results if n.startswith("t_model")),
+    }
+    metrics = ["AJI_mean", "mAP", "AP50", "AP75", "AP85"]
+    fig, axes = plt.subplots(1, len(metrics), figsize=(4 * len(metrics), 3.5))
+    for ax, metric in zip(axes, metrics):
+        for label, names in series.items():
+            if not names:
+                continue
+            ax.plot(range(len(names)), [results[n][metric] for n in names], marker="o", label=label)
+        ax.set_title(metric)
+        ax.set_xlabel("checkpoint")
+        ax.grid(True, alpha=0.3)
+    axes[0].legend()
+    fig.tight_layout()
+    path = os.path.join(out_dir, "metrics.png")
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+    print("metric curves:", path)
 
 
 if __name__ == "__main__":
