@@ -37,7 +37,7 @@ def multilevel_roi_align(
     scales,
     output_size: int,
     sampling_ratio: int,
-    roi_chunk: int = 128,
+    roi_chunk: int = 1024,
 ):
     """Pool [N, 4] boxes from per-level NHWC feature maps (single image).
 

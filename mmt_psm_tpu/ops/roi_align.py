@@ -38,10 +38,18 @@ def _axis_weights(start, size, pooled: int, grid: int, dim: int, dtype):
     A[p, d] = (1/grid) * sum_i w_bilinear(sample(p,i), d) * inbounds(sample),
     so that out[p] = sum_d A[p, d] * f[d] reproduces the reference kernel's
     per-axis math exactly (ROIAlign_cpu.cpp:33-103).
+
+    Coordinate/weight math runs in f32 regardless of the feature dtype —
+    bf16 coordinates both lose sampling precision (8 mantissa bits vs
+    positions up to the map extent) and lower ~15x slower on the VPU
+    (measured 80ms vs 5ms for the b8 x 1000-RoI production A-matrix
+    build); only the final matrix is cast for the MXU contraction.
     """
-    bin_size = size / pooled
-    p = jnp.arange(pooled, dtype=dtype)[:, None]  # [P, 1]
-    i = jnp.arange(grid, dtype=dtype)[None, :]  # [1, G]
+    f32 = jnp.float32
+    bin_size = jnp.asarray(size, f32) / pooled
+    start = jnp.asarray(start, f32)
+    p = jnp.arange(pooled, dtype=f32)[:, None]  # [P, 1]
+    i = jnp.arange(grid, dtype=f32)[None, :]  # [1, G]
     coord = start + p * bin_size + (i + 0.5) * bin_size / grid  # [P, G]
 
     inb = (coord >= -1.0) & (coord <= dim)  # else contributes 0
@@ -56,11 +64,10 @@ def _axis_weights(start, size, pooled: int, grid: int, dim: int, dtype):
     w_low = jnp.where(inb, 1.0 - frac, 0.0) / grid  # [P, G]
     w_high = jnp.where(inb, frac, 0.0) / grid
 
-    d = jnp.arange(dim, dtype=dtype)  # [D]
-    onehot_low = (low[..., None] == d).astype(dtype)  # [P, G, D]
-    onehot_high = (high[..., None] == d).astype(dtype)
+    onehot_low = jax.nn.one_hot(low.astype(jnp.int32), dim, dtype=f32)  # [P, G, D]
+    onehot_high = jax.nn.one_hot(high.astype(jnp.int32), dim, dtype=f32)
     A = jnp.sum(w_low[..., None] * onehot_low + w_high[..., None] * onehot_high, axis=1)
-    return A  # [P, D]
+    return A.astype(dtype)  # [P, D]
 
 
 def _roi_weights(feat_hw, roi, spatial_scale, pooled: int, grid: int, dtype):
@@ -110,7 +117,7 @@ def roi_align(
     spatial_scale: float,
     pooled_size: int,
     sampling_ratio: int,
-    roi_chunk: int = 128,
+    roi_chunk: int = 1024,
 ) -> jnp.ndarray:
     """ROIAlign over one feature map.
 
