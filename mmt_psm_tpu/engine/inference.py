@@ -96,11 +96,20 @@ def gt_to_instseg(boxes, labels, valid, masks, mask_scale=1.0):
     }
 
 
-def run_inference(model, params, batches, categories=(1, 2), max_dets: int = 200):
+def run_inference(model, params, batches, categories=(1, 2), max_dets: int = 200, mesh=None, evaluator=None):
     """Eval loop: jitted inference per batch, Papeval accumulation on host.
 
     batches: iterable of dicts with image/image_size (+ gt arrays for
     evaluation). Returns (stats dict, timing dict).
+
+    mesh: optional 1-D data mesh — params replicate, batches shard on
+    the leading axis, so eval throughput scales over chips the way the
+    reference's multi-GPU eval split work across ranks
+    (engine/inference.py:44-67 + comm.scatter_gather; here XLA SPMD
+    replaces the tmpdir gather).
+    evaluator: alternative metric accumulator with add_image/summarize
+    (the reference dispatches by dataset type, evaluation/__init__.py:7-32
+    — see mmt_psm_tpu.evaluation.evaluate for the dataset-level entry).
     """
 
     @jax.jit
@@ -108,16 +117,30 @@ def run_inference(model, params, batches, categories=(1, 2), max_dets: int = 200
         d = model.apply(p, images, sizes, train=False)
         return d.boxes, d.scores, d.labels, d.valid, d.masks, d.head_ids
 
+    if mesh is not None:
+        from ..parallel import replicate
+
+        params = replicate(params, mesh)
+
     nms_type = getattr(getattr(model, "config", None), "nms_type", "greedy")
     nms_thresh = getattr(getattr(model, "config", None), "nms_thresh", 0.5)
     num_classes = getattr(getattr(model, "config", None), "num_classes", 3)
 
-    evaluator = PapEvaluator(categories=categories, max_dets=max_dets)
+    evaluator = evaluator or PapEvaluator(categories=categories, max_dets=max_dets)
     n_images = 0
     t0 = time.perf_counter()
     for batch in batches:
+        if mesh is not None:
+            from ..parallel import shard_batch
+
+            device_in = shard_batch(
+                {"image": np.asarray(batch["image"]), "image_size": np.asarray(batch["image_size"])},
+                mesh,
+            )
+        else:
+            device_in = {"image": batch["image"], "image_size": batch["image_size"]}
         boxes, scores, labels, valid, masks, head_ids = jax.device_get(
-            infer(params, batch["image"], batch["image_size"])
+            infer(params, device_in["image"], device_in["image_size"])
         )
         if masks is None:
             # box-only model (MASK_ON=False): box-filled 1x1 probs so the

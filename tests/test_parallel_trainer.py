@@ -142,3 +142,28 @@ def test_from_cfg_builds_flagship_graph():
     assert eval_cfg.with_relation_nms and eval_cfg.relation is not None
     assert eval_cfg.with_relation_mask
     assert not eval_cfg.with_hint_adaptor  # MGD adaptor is train-only
+
+
+@pytest.mark.slow
+def test_dp_inference_parity_1_vs_8_devices():
+    """Eval sharded over the mesh must score identically to single-device
+    (the reference split eval across ranks + gathered,
+    engine/inference.py:44-67; XLA SPMD replaces the tmpdir gather)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from mmt_psm_tpu.data.loader import make_test_loader
+    from mmt_psm_tpu.data.pap import synthetic_slide_dataset
+    from mmt_psm_tpu.engine.inference import run_inference
+
+    model = MaskRCNN(config=TINY)
+    batch_np = _np_batch(bsz=8)
+    params = {"params": _init_params(model, batch_np)}
+    ds = synthetic_slide_dataset(seed=5, num_slides=2, slide_size=256, win_size=128, overlap=0.0, is_train=False)
+
+    def loader():
+        return make_test_loader(ds, 8, 128, max_gt=16, min_size=128, max_size=128)
+
+    stats_1, _ = run_inference(model, params, loader())
+    stats_8, _ = run_inference(model, params, loader(), mesh=make_mesh(8))
+    assert stats_1["AJI"] == stats_8["AJI"]
+    assert stats_1["mAP"] == stats_8["mAP"]

@@ -63,6 +63,14 @@ def main():
         ds = build_datasets(names)
         min_size = min(cfg.INPUT.MIN_SIZE_TEST, canvas)
 
+    # shard eval batches over the data mesh (replaces the reference's
+    # per-rank split + tmpdir gather, engine/inference.py:44-67)
+    from mmt_psm_tpu.engine.trainer import mesh_size_for
+    from mmt_psm_tpu.parallel import make_mesh
+
+    mesh_n = mesh_size_for(cfg, cfg.TEST.IMS_PER_BATCH)
+    mesh = make_mesh(mesh_n) if mesh_n > 1 else None
+
     ckpt = Checkpointer(args.ckpt_dir)
     names = sorted(
         n for n in os.listdir(args.ckpt_dir)
@@ -81,7 +89,7 @@ def main():
             ds, cfg.TEST.IMS_PER_BATCH, canvas, max_gt=cfg.TPU.MAX_GT,
             min_size=min_size, max_size=canvas,
         )
-        stats, timing = run_inference(model, params, loader)
+        stats, timing = run_inference(model, params, loader, mesh=mesh)
         aji = stats["AJI"]
         results[name] = {
             "AJI": {str(k): v for k, v in aji.items()},

@@ -117,7 +117,10 @@ def main():
         f.write(cfg.dump())
 
     trainer = MTTrainer(model, params, cfg, src_loader, unl_loader, output_dir=args.output_dir)
-    start_iter = trainer.resume() if args.resume else 0
+    # reference Checkpointer semantics: an existing last_checkpoint in the
+    # run dir always wins over the init weights (utils/checkpoint.py:82-99);
+    # --resume is kept as an explicit alias
+    start_iter = trainer.resume() if (args.resume or trainer.ckpt_s.has_checkpoint()) else 0
     trainer.train(start_iter)
 
     if not args.skip_test:
