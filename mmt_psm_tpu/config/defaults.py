@@ -294,7 +294,10 @@ def _default_config() -> ConfigNode:
     # Device mesh axis names and sizes; -1 means "all remaining devices".
     C.TPU.MESH_AXES = ("data",)
     C.TPU.MESH_SHAPE = (-1,)
-    # ROIAlign implementation: "gather" (exact XLA) or "mxu" (windowed einsum).
+    # ROIAlign implementation: "gather" (exact full-map contraction; best
+    # measured end-to-end — XLA overlaps the single big contraction well),
+    # "banded" (sorted row-band variant: wins standalone at 1000 RoIs but
+    # loses fused, see RESULTS.md), or "windowed" (crop+einsum).
     C.TPU.ROI_ALIGN_IMPL = "gather"
     # jax.profiler trace capture: write a trace of iterations
     # [PROFILE_START, PROFILE_START+PROFILE_STEPS) into PROFILE_DIR

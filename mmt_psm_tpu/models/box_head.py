@@ -136,6 +136,17 @@ def pool_boxes_batched(features, boxes, scales, resolution, sampling_ratio, impl
                 tuple(img_feats), img_boxes, tuple(scales), resolution, sampling_ratio
             )
 
+    elif impl == "banded" and boxes.shape[1] >= 512:
+        # banded pays off when many RoIs share a sorted row band (the
+        # 1000-proposal box head); small sets (the 200-detection mask
+        # head) are faster on the exact kernel (measured 48 vs 40 ms)
+        from ..ops.roi_align_banded import multilevel_roi_align_banded
+
+        def pool_one(img_feats, img_boxes):
+            return multilevel_roi_align_banded(
+                list(img_feats), img_boxes, scales, resolution, sampling_ratio
+            )
+
     else:
 
         def pool_one(img_feats, img_boxes):

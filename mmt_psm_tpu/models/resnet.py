@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import FrozenBatchNorm, conv, max_pool_3x3_s2
+from .layers import FrozenBatchNorm, StemConv7S2D, conv, max_pool_3x3_s2
 
 # (blocks per stage, return which stages) — resnet.py:40-58
 STAGE_SPECS = {
@@ -39,7 +39,9 @@ class Stem(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = conv(self.out_channels, 7, stride=2, padding=3, name="conv1", dtype=self.dtype)(x)
+        # space-to-depth stem conv: identical math, ~7x faster than the
+        # direct 3-channel conv on the MXU (see StemConv7S2D)
+        x = StemConv7S2D(features=self.out_channels, dtype=self.dtype, name="conv1")(x)
         x = FrozenBatchNorm(self.out_channels, name="bn1")(x)
         x = nn.relu(x)
         return max_pool_3x3_s2(x)

@@ -136,6 +136,10 @@ def roi_align(
     """
     assert sampling_ratio > 0, "sampling_ratio must be static and > 0 on TPU"
     n = rois.shape[0]
+    # memory guard: the first contraction materializes
+    # [chunk * P, W * C] — cap chunk so that stays ~O(500MB) at bf16
+    # (e.g. res 14 with 1000+ RoIs would otherwise OOM at chunk 1024)
+    roi_chunk = min(roi_chunk, max(128, 8192 // pooled_size))
     fn = partial(
         _roi_align_chunk,
         features,
