@@ -21,9 +21,13 @@ import numpy as np
 from . import transforms as T
 
 
-def pad_to_canvas(sample: dict, canvas: int, max_gt: int, mask_size: int | None = None) -> dict:
+def pad_to_canvas(sample: dict, canvas: int, max_gt: int, mask_size: int | None = None, pad_masks: bool = True) -> dict:
     """Place the (resized) image top-left on a [canvas, canvas] frame and
-    pad GT arrays to fixed sizes."""
+    pad GT arrays to fixed sizes.
+
+    pad_masks=False keeps the instance masks as the ragged resized array
+    (host-side eval only reads them per image; padding 64 canvas-sized
+    planes per image costs ~70MB/image of pure memset)."""
     img = sample["image"]
     h, w = img.shape[:2]
     assert h <= canvas and w <= canvas, (h, w, canvas)
@@ -34,21 +38,25 @@ def pad_to_canvas(sample: dict, canvas: int, max_gt: int, mask_size: int | None 
     boxes = np.zeros((max_gt, 4), np.float32)
     labels = np.zeros((max_gt,), np.int32)
     valid = np.zeros((max_gt,), bool)
-    masks = np.zeros((max_gt, mask_size, mask_size), np.uint8)
     n = min(len(sample.get("boxes", [])), max_gt)
+    if pad_masks:
+        masks = np.zeros((max_gt, mask_size, mask_size), np.uint8)
+    else:
+        masks = np.asarray(sample.get("masks", np.zeros((0, h, w))), np.uint8)[:n]
     if n:
         boxes[:n] = sample["boxes"][:n]
         labels[:n] = sample["labels"][:n]
         valid[:n] = True
-        src = sample["masks"][:n]
-        if mask_size == canvas:
-            masks[:n, :h, :w] = src[:, :h, :w]
-        else:
-            step = canvas // mask_size
-            for i in range(n):
-                m = np.zeros((canvas, canvas), np.uint8)
-                m[:h, :w] = src[i][:h, :w]
-                masks[i] = m[::step, ::step][:mask_size, :mask_size]
+        if pad_masks:
+            src = sample["masks"][:n]
+            if mask_size == canvas:
+                masks[:n, :h, :w] = src[:, :h, :w]
+            else:
+                step = canvas // mask_size
+                for i in range(n):
+                    m = np.zeros((canvas, canvas), np.uint8)
+                    m[:h, :w] = src[i][:h, :w]
+                    masks[i] = m[::step, ::step][:mask_size, :mask_size]
     return {
         "image": out_img,
         "boxes": boxes,
@@ -60,7 +68,15 @@ def pad_to_canvas(sample: dict, canvas: int, max_gt: int, mask_size: int | None 
 
 
 def _stack(batch_list):
-    return {k: np.stack([b[k] for b in batch_list]) for k in batch_list[0]}
+    out = {}
+    for k in batch_list[0]:
+        vals = [b[k] for b in batch_list]
+        shapes = {np.shape(v) for v in vals}
+        # ragged entries (unpadded eval masks) stay a python list
+        out[k] = np.stack(vals) if len(shapes) == 1 else vals
+    return out
+
+
 
 
 def make_source_loader(
@@ -214,7 +230,8 @@ def make_test_loader(
             for idx in idxs:
                 s = dataset[int(idx)]
                 s = T.test_transform(s, min_size, max_size)
-                samples.append(pad_to_canvas(s, canvas, max_gt, mask_size))
+                # eval masks stay ragged/unpadded — only the host reads them
+                samples.append(pad_to_canvas(s, canvas, max_gt, mask_size, pad_masks=False))
             batch = _stack(samples)
             batch["n_real"] = n_real
             yield batch

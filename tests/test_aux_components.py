@@ -112,3 +112,17 @@ def test_overlay_and_label_map():
     assert out.shape == img.shape and out[10, 10].sum() > 0
     lm = instances_to_label_map({1: inst}, 50, 50)
     assert lm.max() == 1 and (lm[5:16, 5:16] == 1).all() and lm[0, 0] == 0
+
+
+def test_check_expected_results():
+    """TEST.EXPECTED_RESULTS statistical regression hook (reference
+    engine/inference.py:77-78 + upstream check_expected_results)."""
+    import pytest
+
+    from mmt_psm_tpu.engine.inference import check_expected_results
+
+    stats = {"AJI": {2: 0.52, 1: 0.2}, "mAP": {"all": 0.44}}
+    report = check_expected_results(stats, [("AJI/2", 0.5, 0.01), ("mAP/all", 0.45, 0.01)], sigma_tol=4)
+    assert all(ok for *_, ok in report)
+    with pytest.raises(AssertionError, match="AJI/2"):
+        check_expected_results(stats, [("AJI/2", 0.9, 0.01)], sigma_tol=4)

@@ -90,6 +90,12 @@ def main():
             min_size=min_size, max_size=canvas,
         )
         stats, timing = run_inference(model, params, loader, mesh=mesh)
+        if cfg.TEST.EXPECTED_RESULTS:
+            from mmt_psm_tpu.engine.inference import check_expected_results
+
+            check_expected_results(
+                stats, cfg.TEST.EXPECTED_RESULTS, cfg.TEST.EXPECTED_RESULTS_SIGMA_TOL
+            )
         aji = stats["AJI"]
         results[name] = {
             "AJI": {str(k): v for k, v in aji.items()},
