@@ -121,7 +121,7 @@ def subsample_proposals(
     return SampledRoIs(*out)
 
 
-def pool_boxes_batched(features, boxes, scales, resolution, sampling_ratio, impl: str = "windowed"):
+def pool_boxes_batched(features, boxes, scales, resolution, sampling_ratio, impl: str = "windowed", roi_chunk: int | None = None):
     """Multi-level pooling for batched per-image box sets.
 
     features: per-level [B, H, W, C]; boxes: [B, S, 4]. Returns
@@ -150,7 +150,8 @@ def pool_boxes_batched(features, boxes, scales, resolution, sampling_ratio, impl
     else:
 
         def pool_one(img_feats, img_boxes):
-            return multilevel_roi_align(list(img_feats), img_boxes, scales, resolution, sampling_ratio)
+            kw = {"roi_chunk": roi_chunk} if roi_chunk else {}
+            return multilevel_roi_align(list(img_feats), img_boxes, scales, resolution, sampling_ratio, **kw)
 
     return jax.vmap(pool_one, in_axes=(0, 0))(tuple(features), boxes)
 

@@ -253,11 +253,11 @@ class MaskRCNN(nn.Module):
         x = images.astype(self.config.compute_dtype)
         return self.backbone(x)
 
-    def _box_forward(self, features, boxes, deterministic: bool):
+    def _box_forward(self, features, boxes, deterministic: bool, roi_chunk: int | None = None):
         c = self.config
         pooled = BH.pool_boxes_batched(
             features, boxes, c.pooler_scales, c.box_pooler_resolution, c.box_pooler_sampling,
-            impl=c.roi_align_impl,
+            impl=c.roi_align_impl, roi_chunk=roi_chunk,
         )
         b, s = pooled.shape[:2]
         flat = pooled.reshape(b * s, *pooled.shape[2:])
@@ -310,11 +310,15 @@ class MaskRCNN(nn.Module):
         """Raw RPN conv outputs per level."""
         return self.rpn_head(features)
 
-    def box_predictions(self, features, boxes, deterministic: bool = True):
+    def box_predictions(self, features, boxes, deterministic: bool = True, roi_chunk: int | None = None):
         """Pool + box MLP + predictor on given per-image box sets
         (ROIBoxHead._forward_single per-view body, box_head.py:77-100).
-        Returns (class_logits, box_regression, fc7_features)."""
-        return self._box_forward(features, boxes, deterministic=deterministic)
+        Returns (class_logits, box_regression, fc7_features).
+
+        roi_chunk bounds the pooling contraction's temp buffer — the MT
+        step's stacked 2K-view batches pass a small chunk to stay inside
+        HBM next to the training activations."""
+        return self._box_forward(features, boxes, deterministic=deterministic, roi_chunk=roi_chunk)
 
     def teacher_proposals(self, features, image_sizes, pseudo_gt: GroundTruth):
         """Train-mode proposal selection against pseudo ground truth

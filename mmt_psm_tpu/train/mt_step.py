@@ -351,15 +351,27 @@ def unlabeled_losses(model, student_params, teacher_params, batch, rng, mt: MTCo
                 lambda m, b, v: paste_integral(m, b, v, canvas_size, float(mt.mgd_canvas_stride))
             )(dets.masks, dets.boxes, dets.valid)  # [B, Hc, Wc]
 
-    # 2K teacher feature pyramids: each aug view and its flip
-    t_feats = []
+    # 2K teacher feature pyramids: each aug view and its flip, batched as
+    # one [2K*B] backbone pass (bigger convs ride the MXU better than 2K
+    # sequential B-sized passes — SURVEY §7 stage 7)
+    bsz = t_images.shape[0]
+    view_imgs = []
     for k in range(mt.aug_k):
         img = t_images[:, k]
-        t_feats.append(model.apply(tvars, img, method=model.backbone_features))
-        t_feats.append(model.apply(tvars, hflip_image(img), method=model.backbone_features))
-    t_embs = (
-        [model.apply(tvars, f, method=model.hint_embeddings) for f in t_feats] if use_mgd else None
-    )
+        view_imgs.append(img)
+        view_imgs.append(hflip_image(img))
+    stacked = jnp.concatenate(view_imgs, axis=0)  # [2K*B, H, W, 3]
+    feats_all = model.apply(tvars, stacked, method=model.backbone_features)
+    n_views = 2 * mt.aug_k
+    t_feats = [
+        tuple(f[v * bsz : (v + 1) * bsz] for f in feats_all) for v in range(n_views)
+    ]
+    t_embs = None
+    if use_mgd:
+        embs_all = model.apply(tvars, feats_all, method=model.hint_embeddings)
+        t_embs = [
+            tuple(e[v * bsz : (v + 1) * bsz] for e in embs_all) for v in range(n_views)
+        ]
 
     # proposals from view-0 features against pseudo gt, then subsample
     proposals = model.apply(
@@ -383,32 +395,43 @@ def unlabeled_losses(model, student_params, teacher_params, batch, rng, mt: MTCo
 
     t_logits = []
     if use_psm:
-        for vi, f in enumerate(t_feats):
-            boxes_v = flipped_boxes if vi % 2 == 1 else rois_boxes
-            logits = model.apply(tvars, f, boxes_v, True, method=model.box_predictions)[0]
-            t_logits.append(logits)
+        # one box-head pass over all 2K views: features and the
+        # (flip-matched) RoIs stack on the leading axis
+        boxes_all = jnp.concatenate(
+            [flipped_boxes if v % 2 == 1 else rois_boxes for v in range(n_views)], axis=0
+        )
+        logits_all = model.apply(
+            tvars, feats_all, boxes_all, True, method=model.box_predictions,
+            roi_chunk=128,
+        )[0]
+        t_logits = [logits_all[v * bsz : (v + 1) * bsz] for v in range(n_views)]
         t_logits = jax.lax.stop_gradient(t_logits)
     if use_mgd:
         t_embs = jax.lax.stop_gradient(t_embs)
 
     # ---- student (grad) -------------------------------------------------
+    # same batched-views treatment as the teacher
     n_s = s_images.shape[1]
-    s_feats, s_embs, s_logits = [], [], []
-    for si in range(n_s):
-        img = s_images[:, si]
-        if si % 2 == 1:
-            img = hflip_image(img)
-        f = model.apply(svars, img, method=model.backbone_features)
-        s_feats.append(f)
-        if use_mgd:
-            s_embs.append(model.apply(svars, f, method=model.hint_embeddings))
-        if use_psm:
-            boxes_v = flipped_boxes if si % 2 == 1 else rois_boxes
-            rng, r_do = jax.random.split(rng)
-            logits = model.apply(
-                svars, f, boxes_v, False, method=model.box_predictions, rngs={"dropout": r_do}
-            )[0]
-            s_logits.append(logits)
+    s_view_imgs = [
+        hflip_image(s_images[:, si]) if si % 2 == 1 else s_images[:, si] for si in range(n_s)
+    ]
+    s_stacked = jnp.concatenate(s_view_imgs, axis=0)  # [S*B, H, W, 3]
+    s_feats_all = model.apply(svars, s_stacked, method=model.backbone_features)
+    s_feats = [tuple(f[si * bsz : (si + 1) * bsz] for f in s_feats_all) for si in range(n_s)]
+    s_embs, s_logits = [], []
+    if use_mgd:
+        s_embs_all = model.apply(svars, s_feats_all, method=model.hint_embeddings)
+        s_embs = [tuple(e[si * bsz : (si + 1) * bsz] for e in s_embs_all) for si in range(n_s)]
+    if use_psm:
+        s_boxes_all = jnp.concatenate(
+            [flipped_boxes if si % 2 == 1 else rois_boxes for si in range(n_s)], axis=0
+        )
+        rng, r_do = jax.random.split(rng)
+        s_logits_all = model.apply(
+            svars, s_feats_all, s_boxes_all, False, method=model.box_predictions,
+            rngs={"dropout": r_do}, roi_chunk=128,
+        )[0]
+        s_logits = [s_logits_all[si * bsz : (si + 1) * bsz] for si in range(n_s)]
 
     losses = {}
     if mt.odkd and use_psm:
