@@ -79,8 +79,14 @@ def fpn_anchors(
     """Per-level anchors for a square padded canvas.
 
     Returns a list of float32 [H_l*W_l*A, 4] arrays (one per level).
+    FPN pairs one size with each stride; a single stride (the C4 family)
+    gets every size at that level (anchor_generator.py:54-66).
     """
     out = []
+    if len(strides) == 1:
+        grid = image_size // strides[0]
+        cell = generate_cell_anchors(strides[0], sizes, aspect_ratios)
+        return [grid_anchors(cell, grid, grid, strides[0])]
     for stride, size in zip(strides, sizes):
         grid = image_size // stride
         cell = generate_cell_anchors(stride, (size,), aspect_ratios)

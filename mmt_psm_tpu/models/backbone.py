@@ -31,6 +31,7 @@ class ResNetC4Backbone(nn.Module):
     conv_body: str = "R-50-C4"
     freeze_at: int = 2
     stride_in_1x1: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -38,6 +39,7 @@ class ResNetC4Backbone(nn.Module):
             conv_body=self.conv_body,
             freeze_at=self.freeze_at,
             stride_in_1x1=self.stride_in_1x1,
+            dtype=self.dtype,
             name="body",
         )(x)
         return feats  # (C4,)

@@ -80,6 +80,13 @@ class ModelConfig:
     # "PRCNNFeatureExtractor" (CSPN baseline over the raw image,
     # roi_mask_feature_extractors.py:9-88)
     mask_extractor: str = "MaskRCNNFPNFeatureExtractor"
+    # model family: "R-50-FPN" / "R-101-FPN" (pyramid) or "R-50-C4"
+    # (single C4 level + stage-5 RoI head — backbone.py:12-44)
+    conv_body: str = "R-50-FPN"
+    # "FPN2MLPFeatureExtractor" (fc6/fc7) or
+    # "ResNet50Conv5ROIFeatureExtractor" (C4 stage-5 head,
+    # roi_box_feature_extractors.py:12-42)
+    box_extractor: str = "FPN2MLPFeatureExtractor"
     # backbone
     backbone_out_channels: int = 256
     freeze_at: int = 2
@@ -165,6 +172,8 @@ class ModelConfig:
             mask_pooler_sampling=cfg.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO or 2,
             mask_resolution=cfg.MODEL.ROI_MASK_HEAD.RESOLUTION,
             mask_extractor=cfg.MODEL.ROI_MASK_HEAD.FEATURE_EXTRACTOR,
+            conv_body=cfg.MODEL.BACKBONE.CONV_BODY,
+            box_extractor=cfg.MODEL.ROI_BOX_HEAD.FEATURE_EXTRACTOR,
             backbone_out_channels=cfg.MODEL.BACKBONE.OUT_CHANNELS,
             freeze_at=cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT,
             compute_dtype=cfg.TPU.COMPUTE_DTYPE,
@@ -197,12 +206,30 @@ class MaskRCNN(nn.Module):
         # so convs/matmuls run at bf16 MXU rate (dtype=None would promote
         # bf16 activations x f32 params back to f32 everywhere)
         dt = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
-        self.backbone = ResNetFPNBackbone(
-            out_channels=c.backbone_out_channels, freeze_at=c.freeze_at, dtype=dt, name="backbone"
-        )
-        self.rpn_head = RPN.RPNHead(num_anchors=len(c.aspect_ratios), channels=c.backbone_out_channels, dtype=dt, name="rpn")
-        self.box_extractor = BH.FPN2MLPExtractor(mlp_dim=c.mlp_dim, dropout=c.box_head_dropout, dtype=dt, name="box_extractor")
-        self.box_predictor = BH.FPNPredictor(num_classes=c.num_classes, dtype=dt, name="box_predictor")
+        self.is_fpn = c.conv_body.endswith("-FPN")
+        if self.is_fpn:
+            self.backbone = ResNetFPNBackbone(
+                conv_body=c.conv_body, out_channels=c.backbone_out_channels,
+                freeze_at=c.freeze_at, dtype=dt, name="backbone",
+            )
+            rpn_channels = c.backbone_out_channels
+            num_anchors = len(c.aspect_ratios)
+        else:
+            # C4 family: single stride-16 level, every anchor size on it
+            from .backbone import ResNetC4Backbone
+
+            self.backbone = ResNetC4Backbone(conv_body=c.conv_body, freeze_at=c.freeze_at, dtype=dt, name="backbone")
+            rpn_channels = 1024
+            num_anchors = len(c.aspect_ratios) * len(c.anchor_sizes)
+        self.rpn_head = RPN.RPNHead(num_anchors=num_anchors, channels=rpn_channels, dtype=dt, name="rpn")
+        if c.box_extractor == "ResNet50Conv5ROIFeatureExtractor":
+            from .c4 import FastRCNNPredictor, ResNet50Conv5ROIExtractor
+
+            self.box_extractor = ResNet50Conv5ROIExtractor(name="box_extractor")
+            self.box_predictor = FastRCNNPredictor(num_classes=c.num_classes, name="box_predictor")
+        else:
+            self.box_extractor = BH.FPN2MLPExtractor(mlp_dim=c.mlp_dim, dropout=c.box_head_dropout, dtype=dt, name="box_extractor")
+            self.box_predictor = BH.FPNPredictor(num_classes=c.num_classes, dtype=dt, name="box_predictor")
         if c.mask_on:
             if c.mask_extractor == "PRCNNFeatureExtractor":
                 # CSPN baseline: conv tower over the raw image, batched by
@@ -215,6 +242,10 @@ class MaskRCNN(nn.Module):
                     split_rngs={"params": False},
                 )(dtype=dt, name="mask_extractor")
                 self.mask_predictor = MH.PRCNNPredictor(num_classes=c.num_classes, dtype=dt, name="mask_predictor")
+            elif c.mask_extractor == "ResNet50Conv5ROIFeatureExtractor":
+                # C4: the mask head shares the box head's stage-5 extractor
+                # (SHARE_BOX_FEATURE_EXTRACTOR) — only the predictor is its own
+                self.mask_predictor = MH.MaskRCNNC4Predictor(num_classes=c.num_classes, dtype=dt, name="mask_predictor")
             else:
                 self.mask_extractor = MH.MaskRCNNFPNExtractor(dtype=dt, name="mask_extractor")
                 self.mask_predictor = MH.MaskRCNNC4Predictor(num_classes=c.num_classes, dtype=dt, name="mask_predictor")
@@ -261,8 +292,15 @@ class MaskRCNN(nn.Module):
         )
         b, s = pooled.shape[:2]
         flat = pooled.reshape(b * s, *pooled.shape[2:])
-        feats = self.box_extractor(flat, deterministic=deterministic)
-        logits, regs = self.box_predictor(feats)
+        if c.box_extractor == "ResNet50Conv5ROIFeatureExtractor":
+            # C4: stage-5 head on pooled features; the relation heads'
+            # appearance feature is its spatial mean (2048-d)
+            feats = self.box_extractor(flat)
+            logits, regs = self.box_predictor(feats)
+            feats = jnp.mean(feats.astype(jnp.float32), axis=(1, 2))
+        else:
+            feats = self.box_extractor(flat, deterministic=deterministic)
+            logits, regs = self.box_predictor(feats)
         return logits.reshape(b, s, -1), regs.reshape(b, s, -1), feats.reshape(b, s, -1)
 
     def _mask_forward(self, features, boxes, images=None):
@@ -278,7 +316,13 @@ class MaskRCNN(nn.Module):
         )
         b, s = pooled.shape[:2]
         flat = pooled.reshape(b * s, *pooled.shape[2:])
-        x = self.mask_extractor(flat)
+        if c.mask_extractor == "ResNet50Conv5ROIFeatureExtractor":
+            # C4 mask head SHARES the box head's stage-5 extractor
+            # (SHARE_BOX_FEATURE_EXTRACTOR, roi_heads.py:17-19,
+            # mask_head/roi_mask_feature_extractors.py:15-42)
+            x = self.box_extractor(flat)
+        else:
+            x = self.mask_extractor(flat)
         logits = self.mask_predictor(x)
         r = logits.shape[1]
         p = x.shape[1]

@@ -136,6 +136,12 @@ def test_list_dataset(tmp_path):
 
 TINY_OPTS = [
     "MODEL.MASK_ON", "True",
+    "MODEL.BACKBONE.CONV_BODY", "R-50-FPN",
+    "MODEL.RPN.ANCHOR_STRIDE", "(4, 8, 16, 32, 64)",
+    "MODEL.ROI_BOX_HEAD.FEATURE_EXTRACTOR", "FPN2MLPFeatureExtractor",
+    "MODEL.ROI_BOX_HEAD.POOLER_SCALES", "(0.25, 0.125, 0.0625, 0.03125)",
+    "MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION", "7",
+    "MODEL.ROI_MASK_HEAD.FEATURE_EXTRACTOR", "MaskRCNNFPNFeatureExtractor",
     "MODEL.ROI_MASK_HEAD.RESOLUTION", "28",
     "MODEL.ROI_MASK_HEAD.POOLER_SCALES", "(0.25, 0.125, 0.0625, 0.03125)",
     "TPU.IMAGE_SIZE", "128",
