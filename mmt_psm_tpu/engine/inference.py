@@ -165,7 +165,18 @@ def _cached_infer(model):
     return infer
 
 
-def run_inference(model, params, batches, categories=(1, 2), max_dets: int = 200, mesh=None, evaluator=None):
+def run_inference(
+    model,
+    params,
+    batches,
+    categories=(1, 2),
+    max_dets: int = 200,
+    mesh=None,
+    evaluator=None,
+    visual_num: int = 0,
+    visual_dir: str | None = None,
+    mat_dir: str | None = None,
+):
     """Eval loop: jitted inference per batch, Papeval accumulation on host.
 
     batches: iterable of dicts with image/image_size (+ gt arrays for
@@ -179,6 +190,10 @@ def run_inference(model, params, batches, categories=(1, 2), max_dets: int = 200
     evaluator: alternative metric accumulator with add_image/summarize
     (the reference dispatches by dataset type, evaluation/__init__.py:7-32
     — see mmt_psm_tpu.evaluation.evaluate for the dataset-level entry).
+    visual_num/visual_dir: render prediction overlays for the first N
+    images (TEST.VISUAL_NUM, reference pap_eval.py:49-77).
+    mat_dir: write per-image instance label maps as .mat files (the
+    reference ISBI export, tools/test_net.py:109-121 + get_mat_output).
     """
 
     infer = _cached_infer(model)
@@ -247,6 +262,28 @@ def run_inference(model, params, batches, categories=(1, 2), max_dets: int = 200
                 np.asarray(batch["gt_valid"][i]),
                 np.asarray(batch["masks"][i]),
             )
+            if visual_dir and n_images < visual_num:
+                import os
+
+                from ..data.transforms import PIXEL_MEAN_BGR
+                from ..utils.visual import overlay_instances
+
+                from PIL import Image
+
+                h_i, w_i = int(batch["image_size"][i][0]), int(batch["image_size"][i][1])
+                bgr = np.asarray(batch["image"][i][:h_i, :w_i]) + PIXEL_MEAN_BGR
+                rgb = np.clip(bgr[..., ::-1], 0, 255).astype(np.uint8)
+                ov = overlay_instances(rgb, {"masks": dt})
+                os.makedirs(visual_dir, exist_ok=True)
+                Image.fromarray(ov).save(os.path.join(visual_dir, f"vis_{n_images:04d}.png"))
+            if mat_dir:
+                import os
+
+                from ..utils.mat_output import save_mat_output
+
+                h_i, w_i = int(batch["image_size"][i][0]), int(batch["image_size"][i][1])
+                os.makedirs(mat_dir, exist_ok=True)
+                save_mat_output(dt, h_i, w_i, os.path.join(mat_dir, f"img_{n_images:04d}.mat"))
             evaluator.add_image(dt, gt)
             n_images += 1
         batch, pending = next_batch, next_pending

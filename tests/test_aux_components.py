@@ -126,3 +126,40 @@ def test_check_expected_results():
     assert all(ok for *_, ok in report)
     with pytest.raises(AssertionError, match="AJI/2"):
         check_expected_results(stats, [("AJI/2", 0.9, 0.01)], sigma_tol=4)
+
+
+@pytest.mark.slow
+def test_run_inference_visual_and_mat_outputs(tmp_path):
+    """TEST.VISUAL_NUM overlays + .mat export through the eval engine
+    (reference pap_eval.py:49-77, tools/test_net.py:109-121)."""
+    import os
+
+    import jax
+
+    from mmt_psm_tpu.data.loader import make_test_loader
+    from mmt_psm_tpu.data.pap import synthetic_slide_dataset
+    from mmt_psm_tpu.engine.inference import run_inference
+    from mmt_psm_tpu.models import MaskRCNN
+
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_detector import TINY
+
+    model = MaskRCNN(config=TINY)
+    ds = synthetic_slide_dataset(seed=9, num_slides=1, slide_size=128, win_size=128, overlap=0.0, is_train=False)
+    loader = make_test_loader(ds, 1, 128, max_gt=16, min_size=128, max_size=128)
+    first = next(make_test_loader(ds, 1, 128, max_gt=16, min_size=128, max_size=128))
+    import jax.numpy as jnp
+
+    params = jax.jit(lambda r, im, sz: model.init(r, im, sz, train=False))(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(first["image"]), jnp.asarray(first["image_size"])
+    )
+    vis = str(tmp_path / "vis")
+    mat = str(tmp_path / "mat")
+    run_inference(model, params, loader, visual_num=1, visual_dir=vis, mat_dir=mat)
+    assert os.path.isfile(os.path.join(vis, "vis_0000.png"))
+    assert os.path.isfile(os.path.join(mat, "img_0000.mat"))
+    import scipy.io as sio
+
+    m = sio.loadmat(os.path.join(mat, "img_0000.mat"))["predmap"]
+    assert m.shape == (128, 128)

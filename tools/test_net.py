@@ -89,7 +89,12 @@ def main():
             ds, cfg.TEST.IMS_PER_BATCH, canvas, max_gt=cfg.TPU.MAX_GT,
             min_size=min_size, max_size=canvas,
         )
-        stats, timing = run_inference(model, params, loader, mesh=mesh)
+        stats, timing = run_inference(
+            model, params, loader, mesh=mesh,
+            visual_num=cfg.TEST.VISUAL_NUM,
+            visual_dir=os.path.join(out_dir, f"vis_{name}") if cfg.TEST.VISUAL_NUM else None,
+            mat_dir=os.path.join(out_dir, f"mat_{name}") if cfg.TEST.GEN else None,
+        )
         if cfg.TEST.EXPECTED_RESULTS:
             from mmt_psm_tpu.engine.inference import check_expected_results
 
