@@ -8,7 +8,6 @@ coordinates, paste masks, and optionally render overlays.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import numpy as np

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..parallel import make_mesh, replicate, shard_batch
 from ..train.mt_step import MTConfig, make_mt_step
 from ..train.optim import make_optimizer
-from ..train.supervised import TrainState, create_train_state, make_supervised_step
+from ..train.supervised import create_train_state, make_supervised_step
 from ..utils.logger import setup_logger
 from ..utils.checkpoint import Checkpointer
 from ..utils.metric_logger import MetricLogger

@@ -22,7 +22,6 @@ maskrcnn_benchmark/data/datasets/evaluation/pap/pap_eval.py:212-975):
 
 from __future__ import annotations
 
-from collections import defaultdict
 from dataclasses import dataclass
 
 import numpy as np

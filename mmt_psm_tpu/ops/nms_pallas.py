@@ -23,7 +23,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..structures.boxes import box_iou
 
 try:  # pallas import is deferred-safe for environments without TPU support
     from jax.experimental import pallas as pl

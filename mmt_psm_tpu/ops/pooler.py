@@ -15,7 +15,6 @@ path can replace this later without changing the interface.)
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax.numpy as jnp
 
