@@ -80,6 +80,8 @@ class ModelConfig:
     # "PRCNNFeatureExtractor" (CSPN baseline over the raw image,
     # roi_mask_feature_extractors.py:9-88)
     mask_extractor: str = "MaskRCNNFPNFeatureExtractor"
+    # proposals-only model (MODEL.RPN_ONLY, reference rpn.py:178-213)
+    rpn_only: bool = False
     # model family: "R-50-FPN" / "R-101-FPN" (pyramid) or "R-50-C4"
     # (single C4 level + stage-5 RoI head — backbone.py:12-44)
     conv_body: str = "R-50-FPN"
@@ -167,7 +169,8 @@ class ModelConfig:
                 if cfg.MODEL.ROI_HEADS.NMS_TYPE == "set" and cfg.MODEL.ROI_BOX_HEAD.K_HEAD > 1
                 else "greedy"
             ),
-            mask_on=cfg.MODEL.MASK_ON,
+            rpn_only=bool(cfg.MODEL.RPN_ONLY),
+            mask_on=cfg.MODEL.MASK_ON and not cfg.MODEL.RPN_ONLY,
             mask_pooler_resolution=cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
             mask_pooler_sampling=cfg.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO or 2,
             mask_resolution=cfg.MODEL.ROI_MASK_HEAD.RESOLUTION,
@@ -222,6 +225,8 @@ class MaskRCNN(nn.Module):
             rpn_channels = 1024
             num_anchors = len(c.aspect_ratios) * len(c.anchor_sizes)
         self.rpn_head = RPN.RPNHead(num_anchors=num_anchors, channels=rpn_channels, dtype=dt, name="rpn")
+        if c.rpn_only:
+            return  # proposals-only model: no roi heads (rpn.py:178-213)
         if c.box_extractor == "ResNet50Conv5ROIFeatureExtractor":
             from .c4 import FastRCNNPredictor, ResNet50Conv5ROIExtractor
 
@@ -418,6 +423,10 @@ class MaskRCNN(nn.Module):
             positive_fraction=c.rpn_positive_fraction,
             straddle_thresh=c.straddle_thresh,
         )
+        if c.rpn_only:
+            # RPN-only model: no roi heads, no proposal transformation
+            # (reference rpn.py:178-199)
+            return {"loss_objectness": loss_obj, "loss_rpn_box_reg": loss_rpn_box}
 
         proposals = RPN.select_proposals(
             [jax.lax.stop_gradient(o) for o in objectness],
@@ -513,6 +522,19 @@ class MaskRCNN(nn.Module):
             min_size=c.rpn_min_size,
             is_train=False,
         )
+        if c.rpn_only:
+            # proposals ARE the output, in decreasing objectness order
+            # (reference rpn.py:201-213)
+            order = jnp.argsort(-jnp.where(proposals.valid, proposals.scores, -jnp.inf), axis=1)
+            boxes = jnp.take_along_axis(proposals.boxes, order[..., None], axis=1)
+            scores = jnp.take_along_axis(proposals.scores, order, axis=1)
+            valid = jnp.take_along_axis(proposals.valid, order, axis=1)
+            return Detections(
+                boxes=boxes,
+                scores=jnp.where(valid, scores, 0.0),
+                labels=jnp.where(valid, 1, 0),
+                valid=valid,
+            )
         class_logits, box_regression, box_feats = self._box_forward(features, proposals.boxes, deterministic=True)
         if c.with_relation_nms:
             # learned NMS replaces the classic post-processor at test time
