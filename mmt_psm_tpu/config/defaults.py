@@ -278,6 +278,9 @@ def _default_config() -> ConfigNode:
     C.TEST.GEN = False
     C.TEST.TTA = False
     C.TEST.VISUAL_NUM = 0
+    # host-eval process-pool size (TPU addition): parallelizes the
+    # per-image paste+Papeval stage (engine/_eval_worker.py); 0 = serial
+    C.TEST.EVAL_WORKERS = 8
 
     # ----------------------------------------------------------------- TPU
     # New (no reference equivalent): static-shape + mesh knobs for XLA.
@@ -298,7 +301,7 @@ def _default_config() -> ConfigNode:
     # measured end-to-end — XLA overlaps the single big contraction well),
     # "banded" (sorted row-band variant: wins standalone at 1000 RoIs but
     # loses fused, see RESULTS.md), or "windowed" (crop+einsum).
-    C.TPU.ROI_ALIGN_IMPL = "gather"
+    C.TPU.ROI_ALIGN_IMPL = "pallas"
     # jax.profiler trace capture: write a trace of iterations
     # [PROFILE_START, PROFILE_START+PROFILE_STEPS) into PROFILE_DIR
     # (empty = off). The reference has only wall-clock meters

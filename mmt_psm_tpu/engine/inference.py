@@ -19,102 +19,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..evaluation.instmask import InstSeg
+from ..evaluation.instmask import InstSeg  # noqa: F401 -- re-export
 from ..evaluation.pap_eval import PapEvaluator
-
-
-def detections_to_instseg(boxes, scores, labels, valid, mask_probs, image_hw, threshold=0.5):
-    """Convert one image's padded detections into per-class InstSeg.
-
-    boxes/scores/labels/valid/mask_probs: numpy arrays for one image
-    ([K,4], [K], [K], [K], [K,M,M]). Pasting follows Masker semantics
-    (mask_head/inference.py:169-246): bilinear resize of the 28x28 map
-    to the box extent, threshold at 0.5.
-    """
-    h, w = int(image_hw[0]), int(image_hw[1])
-    out = defaultdict(lambda: {"boxes": [], "masks": [], "scores": []})
-    m = mask_probs.shape[-1]
-    for k in range(len(boxes)):
-        if not valid[k]:
-            continue
-        x1, y1, x2, y2 = boxes[k]
-        xi1, yi1 = int(np.floor(x1)), int(np.floor(y1))
-        xi2, yi2 = int(np.ceil(x2)), int(np.ceil(y2))
-        xi1, yi1 = max(xi1, 0), max(yi1, 0)
-        xi2, yi2 = min(xi2, w - 1), min(yi2, h - 1)
-        bw, bh = xi2 - xi1 + 1, yi2 - yi1 + 1
-        if bw <= 0 or bh <= 0:
-            continue
-        # bilinear resize mask m x m -> bh x bw (align_corners=False)
-        ys = (np.arange(bh) + yi1 - y1 + 0.5) / max(y2 - y1 + 1, 1) * m - 0.5
-        xs = (np.arange(bw) + xi1 - x1 + 0.5) / max(x2 - x1 + 1, 1) * m - 0.5
-        ys = np.clip(ys, 0, m - 1)
-        xs = np.clip(xs, 0, m - 1)
-        y0 = np.floor(ys).astype(int)
-        x0 = np.floor(xs).astype(int)
-        y1f = ys - y0
-        x1f = xs - x0
-        y0c = np.minimum(y0 + 1, m - 1)
-        x0c = np.minimum(x0 + 1, m - 1)
-        mp = mask_probs[k]
-        top = mp[y0][:, x0] * (1 - x1f) + mp[y0][:, x0c] * x1f
-        bot = mp[y0c][:, x0] * (1 - x1f) + mp[y0c][:, x0c] * x1f
-        resized = top * (1 - y1f)[:, None] + bot * y1f[:, None]
-        local = resized >= threshold
-        if not local.any():
-            continue
-        cat = int(labels[k])
-        out[cat]["boxes"].append([xi1, yi1, xi2, yi2])
-        out[cat]["masks"].append(local)
-        out[cat]["scores"].append(float(scores[k]))
-    return {
-        cat: InstSeg(
-            boxes=np.asarray(v["boxes"], np.int64),
-            masks=v["masks"],
-            scores=np.asarray(v["scores"], np.float64),
-        )
-        for cat, v in out.items()
-    }
-
-
-def gt_to_instseg(boxes, labels, valid, masks, mask_scale=1.0):
-    """Ground truth arrays -> per-class InstSeg. masks: [M, Hm, Wm] full-
-    frame bitmasks (possibly at reduced resolution; mask_scale upsamples
-    boxes accordingly is NOT applied — pass full-res masks for eval).
-
-    The annotation boxes pre-localize each instance so the tight-bbox
-    scan runs on a small padded crop instead of the full frame
-    (60 full-frame np.nonzero scans cost ~150 ms/image)."""
-    out = defaultdict(lambda: {"boxes": [], "masks": []})
-    hm, wm = masks.shape[-2:]
-    for k in range(len(boxes)):
-        if not valid[k]:
-            continue
-        bx = boxes[k]
-        # pad generously: resize rounding can push mask pixels a few px
-        # outside the stored box
-        cx1 = max(int(np.floor(bx[0])) - 4, 0)
-        cy1 = max(int(np.floor(bx[1])) - 4, 0)
-        cx2 = min(int(np.ceil(bx[2])) + 5, wm)
-        cy2 = min(int(np.ceil(bx[3])) + 5, hm)
-        crop = masks[k, cy1:cy2, cx1:cx2]
-        # cheap exactness check: count_nonzero is a SIMD scan without
-        # index materialization; mismatch -> box/mask disagree, rescan
-        if np.count_nonzero(crop) != np.count_nonzero(masks[k]):
-            cy1 = cx1 = 0
-            crop = masks[k]
-        ys, xs = np.nonzero(crop)
-        if len(ys) == 0:
-            continue
-        y1, y2, x1, x2 = ys.min(), ys.max(), xs.min(), xs.max()
-        out[int(labels[k])]["boxes"].append([cx1 + x1, cy1 + y1, cx1 + x2, cy1 + y2])
-        out[int(labels[k])]["masks"].append(
-            np.ascontiguousarray(crop[y1 : y2 + 1, x1 : x2 + 1]).astype(bool)
-        )
-    return {
-        cat: InstSeg(boxes=np.asarray(v["boxes"], np.int64), masks=v["masks"])
-        for cat, v in out.items()
-    }
+from .paste import (  # noqa: F401 -- paste helpers moved to a jax-free module
+    _bilinear_resize,
+    detections_to_instseg,
+    gt_to_instseg,
+    paste_mask_crop,
+)
 
 
 def check_expected_results(stats: dict, expected_results, sigma_tol: float = 4):
@@ -176,6 +88,7 @@ def run_inference(
     visual_num: int = 0,
     visual_dir: str | None = None,
     mat_dir: str | None = None,
+    eval_workers: int = 0,
 ):
     """Eval loop: jitted inference per batch, Papeval accumulation on host.
 
@@ -194,6 +107,10 @@ def run_inference(
     images (TEST.VISUAL_NUM, reference pap_eval.py:49-77).
     mat_dir: write per-image instance label maps as .mat files (the
     reference ISBI export, tools/test_net.py:109-121 + get_mat_output).
+    eval_workers: >0 farms the per-image paste+scoring (the ~250 ms/img
+    host bottleneck) to a spawn process pool (engine/_eval_worker.py);
+    GT conversion stays in-process so full-frame bitmasks never cross
+    the pipe. Requires the default PapEvaluator.
     """
 
     infer = _cached_infer(model)
@@ -219,7 +136,20 @@ def run_inference(
             device_in = {"image": batch["image"], "image_size": batch["image_size"]}
         return infer(params, device_in["image"], device_in["image_size"])
 
+    pool = None
+    if eval_workers > 0 and evaluator is None:
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        pool = ProcessPoolExecutor(
+            max_workers=eval_workers, mp_context=mp.get_context("spawn")
+        )
     evaluator = evaluator or PapEvaluator(categories=categories, max_dets=max_dets)
+    # image-ordered result slots: either a Future (pool path) or a
+    # ready list of ImageResult rows (serial path) — keeps accumulation
+    # order, and therefore tie-breaking in the mergesort PR curves,
+    # independent of worker count
+    result_slots = []
     n_images = 0
     t0 = time.perf_counter()
     # single-stage pipeline: batch i+1 executes on device while the host
@@ -232,13 +162,16 @@ def run_inference(
         next_batch = next(it, None)
         next_pending = dispatch(next_batch) if next_batch is not None else None
         boxes, scores, labels, valid, masks, head_ids = jax.device_get(pending)
+        masks16 = None
         if masks is None:
             # box-only model (MASK_ON=False): box-filled 1x1 probs so the
             # shared InstSeg conversion applies
             masks = np.ones(boxes.shape[:2] + (1, 1), np.float32)
         else:
             # masks travel as f16 (half the transfer); numpy f16 math is
-            # scalar-slow, so widen once on host
+            # scalar-slow, so widen once on host (workers get the f16
+            # copy — half the pickle bytes — and widen themselves)
+            masks16 = np.asarray(masks)
             masks = np.asarray(masks, np.float32)
         # the test loader pads the final partial batch by repeating the
         # last sample; only score the real ones
@@ -253,14 +186,32 @@ def run_inference(
                     boxes[i], scores[i], labels[i], v_i, head_ids[i],
                     nms_thresh=nms_thresh, num_classes=num_classes,
                 )
-            dt = detections_to_instseg(
-                boxes[i], scores[i], labels[i], v_i, masks[i], batch["image_size"][i]
-            )
             gt = gt_to_instseg(
                 np.asarray(batch["boxes"][i]),
                 np.asarray(batch["labels"][i]),
                 np.asarray(batch["gt_valid"][i]),
                 np.asarray(batch["masks"][i]),
+            )
+            want_render = (visual_dir and n_images < visual_num) or mat_dir
+            if pool is not None and not want_render:
+                from . import _eval_worker
+
+                result_slots.append(
+                    pool.submit(
+                        _eval_worker.eval_one,
+                        (
+                            boxes[i], scores[i], labels[i], v_i,
+                            masks16[i] if masks16 is not None else masks[i],
+                            tuple(np.asarray(batch["image_size"][i]).tolist()),
+                            gt, evaluator.categories, evaluator.max_dets,
+                            evaluator.use_iou,
+                        ),
+                    )
+                )
+                n_images += 1
+                continue
+            dt = detections_to_instseg(
+                boxes[i], scores[i], labels[i], v_i, masks[i], batch["image_size"][i]
             )
             if visual_dir and n_images < visual_num:
                 import os
@@ -284,9 +235,20 @@ def run_inference(
                 h_i, w_i = int(batch["image_size"][i][0]), int(batch["image_size"][i][1])
                 os.makedirs(mat_dir, exist_ok=True)
                 save_mat_output(dt, h_i, w_i, os.path.join(mat_dir, f"img_{n_images:04d}.mat"))
-            evaluator.add_image(dt, gt)
+            if pool is not None:
+                before = len(evaluator.results)
+                evaluator.add_image(dt, gt)
+                result_slots.append(evaluator.results[before:])
+                del evaluator.results[before:]
+            else:
+                evaluator.add_image(dt, gt)
             n_images += 1
         batch, pending = next_batch, next_pending
+    if pool is not None:
+        for slot in result_slots:
+            rows = slot.result() if hasattr(slot, "result") else slot
+            evaluator.results.extend(rows)
+        pool.shutdown()
     dt_total = time.perf_counter() - t0
     stats = evaluator.summarize()
     return stats, {"images": n_images, "seconds": dt_total, "images_per_sec": n_images / max(dt_total, 1e-9)}

@@ -125,9 +125,26 @@ def pool_boxes_batched(features, boxes, scales, resolution, sampling_ratio, impl
     """Multi-level pooling for batched per-image box sets.
 
     features: per-level [B, H, W, C]; boxes: [B, S, 4]. Returns
-    [B, S, P, P, C]. impl: "windowed" (fast path, ops/
-    roi_align_windowed.py) or "gather" (exact full-map contraction).
+    [B, S, P, P, C]. impl: "pallas" (TPU windowed-DMA kernel, ops/
+    roi_align_pallas.py; falls back to "windowed" off-TPU), "windowed"
+    (XLA gather fast path) or "gather" (exact full-map contraction).
     """
+    if impl == "pallas" and (len(scales) == 1 or features[0].shape[-1] > 512):
+        # C4-family: no level mapper bounds the RoI span (stride-16
+        # spans reach the whole map) and C=1024 windows blow the VMEM
+        # budget — stay on the exact XLA path there
+        impl = "gather"
+    if impl == "pallas":
+        import jax as _jax
+
+        if _jax.default_backend() == "tpu":
+            from ..ops.roi_align_pallas import multilevel_roi_align_pallas
+
+            return multilevel_roi_align_pallas(
+                tuple(features), boxes, tuple(scales), resolution, sampling_ratio
+            )
+        impl = "gather"  # off-TPU (CPU parity tests): the exact path
+
     if impl == "windowed":
         from ..ops.roi_align_windowed import multilevel_roi_align_windowed
 

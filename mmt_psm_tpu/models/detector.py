@@ -96,7 +96,7 @@ class ModelConfig:
     # "gather" (exact full-map contraction, best measured on-TPU perf:
     # dense einsums ride the MXU) or "windowed" (crop+einsum; fewer FLOPs
     # but per-RoI gathers lower poorly on TPU — kept for future tuning)
-    roi_align_impl: str = "gather"
+    roi_align_impl: str = "pallas"
     # mean-teacher hint adaptor (MGD): 1x1 conv per FPN level
     # (reference roi_box_feature_extractors.py:45-75, MT.T_ADAPT)
     with_hint_adaptor: bool = False

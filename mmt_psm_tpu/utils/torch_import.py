@@ -50,6 +50,31 @@ _RULES = [
     (r"^relation_nms\.relation_module\.WK", ("relation_nms/relation_module/WK", "linear")),
     (r"^relation_nms\.relation_module\.WQ", ("relation_nms/relation_module/WQ", "linear")),
     (r"^relation_nms\.relation_module\.conv1", ("relation_nms/relation_module/conv1", "conv")),
+    # mask relation refine net (reference mask_relation_module.py:16-107;
+    # extractor relation_mask_feature_extractor.py:10-138)
+    (
+        r"^(?:roi_heads\.mask|mask_heads\.mask)\.mask_relation_module\."
+        r"appearance_feature_extractor\.mask_fcn(\d)",
+        (r"mask_relation/mask_fcn\1", "conv"),
+    ),
+    (
+        r"^(?:roi_heads\.mask|mask_heads\.mask)\.mask_relation_module\."
+        r"appearance_feature_extractor\.conv5_mask",
+        ("mask_relation/extractor_conv5", "conv"),
+    ),
+    (
+        r"^(?:roi_heads\.mask|mask_heads\.mask)\.mask_relation_module\.classifier",
+        ("mask_relation/classifier", "conv"),
+    ),
+    (
+        r"^(?:roi_heads\.mask|mask_heads\.mask)\.mask_relation_module\.deconv_1",
+        ("mask_relation/deconv_1", "deconv"),
+    ),
+    (
+        r"^(?:roi_heads\.mask|mask_heads\.mask)\.mask_relation_module\."
+        r"relation_module(?=\.gamma)",
+        ("mask_relation", "raw"),
+    ),
 ]
 
 # heads whose shapes depend on NUM_CLASSES; dropped in transfer mode
@@ -60,8 +85,8 @@ TRANSFER_SKIP = ("cls_score", "bbox_pred.", "mask_fcn_logits")
 def _convert_tensor(kind: str, leaf: str, value: np.ndarray, pooled_hwc=None) -> tuple:
     """Returns (flax_leaf_name, converted array)."""
     v = np.asarray(value)
-    if kind == "bn":
-        return leaf, v  # weight/bias/running_mean/running_var pass through
+    if kind in ("bn", "raw"):
+        return leaf, v  # buffers / scalar params pass through unchanged
     if leaf == "bias":
         return "bias", v
     if kind == "conv":
@@ -96,7 +121,11 @@ def convert_state_dict(
     out = {}
     unmatched = []
     for name, value in state_dict.items():
-        name = name.replace("module.", "")
+        # strip only a LEADING DataParallel wrapper prefix — a global
+        # replace would also eat interior names like
+        # "relation_nms.relation_module.WG" (checkpoint.py:148-160 strips
+        # the same way via model_serialization's prefix matching)
+        name = re.sub(r"^module\.", "", name)
         if transfer and any(s in name for s in TRANSFER_SKIP):
             continue
         matched = False

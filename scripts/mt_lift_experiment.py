@@ -1,0 +1,188 @@
+"""Semi-supervised lift experiment: supervised-only vs full MMT-PSM.
+
+The reference exists to show that the mean-teacher loop (PSM + MGD, EMA
+teacher — engine/MTtrainer.py:111-281, box_head/loss.py:185-237,
+generalized_rcnn.py:243-282) buys accuracy from unlabeled data. This
+script reproduces that claim end to end on synthetic pap data:
+
+* a SMALL labeled split (few slides — the supervised baseline overfits),
+* a LARGE unlabeled patch pool,
+* arm A: supervised-only training (MT.LAMBDA=0 semantics);
+* arm B: identical init + schedule, with the MMT-PSM unlabeled step
+  after START_MT (teacher pseudo-labels its clean view, PSM soft-CE
+  with hard-negative selection, MGD foreground hints, EMA teacher);
+* both arms evaluated on held-out slides with the Papeval stack.
+
+Writes a JSON summary {sup: {...}, mt_student: {...}, mt_teacher: {...}}
+consumed by tests/test_mt_lift.py, which asserts the teacher's lift.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_model(size):
+    from mmt_psm_tpu.models import MaskRCNN, ModelConfig
+
+    mcfg = ModelConfig(
+        image_size=size,
+        pre_nms_top_n_train=1024,
+        pre_nms_top_n_test=512,
+        post_nms_top_n_train=512,
+        post_nms_top_n_test=512,
+        fpn_post_nms_top_n_train=1024,
+        fpn_post_nms_top_n_test=512,
+        box_batch_per_image=256,
+        mask_max_pos=64,
+        detections_per_img=100,
+    )
+    return MaskRCNN(config=mcfg), mcfg
+
+
+def init_params(model, batch0):
+    from mmt_psm_tpu.train.supervised import batch_to_gt
+
+    init_fn = jax.jit(lambda r, im, sz, gt: model.init(r, im, sz, gt, train=True))
+    return init_fn(
+        {
+            "params": jax.random.PRNGKey(0),
+            "sample": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2),
+        },
+        batch0["image"],
+        batch0["image_size"],
+        batch_to_gt(batch0),
+    )["params"]
+
+
+def evaluate(model, params, loader):
+    from mmt_psm_tpu.engine.inference import run_inference
+
+    stats, _ = run_inference(model, {"params": params}, loader)
+    return {
+        "AJI_cyto": round(float(stats["AJI"].get(1, 0.0)), 4),
+        "AJI_nuclei": round(float(stats["AJI"].get(2, 0.0)), 4),
+        "mAP_all": round(float(stats["mAP"].get("all", -1)), 4),
+        "AP50_all": round(float(stats["AP50"].get("all", -1)), 4),
+        "F1_nuclei": round(float(stats["F1"].get(2, 0.0)), 4),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=1200)
+    ap.add_argument("--start-mt", type=int, default=300)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=2.5e-4)
+    ap.add_argument("--labeled-slides", type=int, default=2)
+    ap.add_argument("--unlabeled-patches", type=int, default=96)
+    ap.add_argument("--lambda", dest="lam", type=float, default=5.0)
+    ap.add_argument("--out", type=str, default="/tmp/mt_lift.json")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from mmt_psm_tpu.config import get_cfg
+    from mmt_psm_tpu.data.loader import (
+        make_source_loader,
+        make_test_loader,
+        make_unlabeled_loader,
+    )
+    from mmt_psm_tpu.data.pap import PapUnlabeledDataset, synthetic_slide_dataset
+    from mmt_psm_tpu.data.synthetic import generate_sample
+    from mmt_psm_tpu.engine.trainer import MTTrainer
+
+    size = args.size
+    model, _ = build_model(size)
+
+    # labeled: few slides so the supervised arm saturates/overfits
+    train_ds = synthetic_slide_dataset(
+        seed=0, num_slides=args.labeled_slides, slide_size=2 * size, win_size=size, overlap=0.5
+    )
+    # unlabeled: large pool from the SAME generative distribution
+    # (different seed), as loose patches (reference Pap.py:762-866)
+    rng = np.random.default_rng(50)
+    patches = [
+        generate_sample(rng, image_size=size, max_instances=64, num_cells=(4, 10)).image.astype(np.uint8)
+        for _ in range(args.unlabeled_patches)
+    ]
+    unlabeled_ds = PapUnlabeledDataset(patches)
+    val_ds = synthetic_slide_dataset(
+        seed=99, num_slides=4, slide_size=2 * size, win_size=size, overlap=0.0, is_train=False
+    )
+    print(
+        f"labeled windows: {len(train_ds)}, unlabeled patches: {len(unlabeled_ds)}, "
+        f"val windows: {len(val_ds)}",
+        flush=True,
+    )
+
+    def make_cfg(with_mt: bool, out_dir: str):
+        cfg = get_cfg()
+        cfg.SOLVER.BASE_LR = args.lr
+        cfg.SOLVER.MAX_ITER = args.iters
+        cfg.SOLVER.STEPS = (int(args.iters * 0.75),)
+        cfg.SOLVER.WARMUP_ITERS = min(100, args.iters // 5)
+        cfg.SOLVER.IMS_PER_BATCH = args.batch
+        cfg.SOLVER.CHECKPOINT_PERIOD = 0
+        cfg.MT.LAMBDA = args.lam if with_mt else 0.0
+        cfg.MT.START_MT = args.start_mt
+        cfg.MT.RAMPUP_STEP = max(args.iters // 6, 50)
+        cfg.MT.RAMPDOWN_STEP = max(args.iters // 6, 50)
+        cfg.MT.MAX_ITER = args.iters
+        os.makedirs(out_dir, exist_ok=True)
+        return cfg
+
+    loader0 = make_source_loader(train_ds, args.batch, size, max_gt=64, min_size=size, seed=0)
+    batch0 = {k: jnp.asarray(v) for k, v in next(loader0).items()}
+    params = init_params(model, batch0)
+
+    results = {}
+    t_all = time.time()
+    for arm in ("sup", "mt"):
+        with_mt = arm == "mt"
+        out_dir = f"/tmp/mt_lift_{arm}"
+        cfg = make_cfg(with_mt, out_dir)
+        src = make_source_loader(train_ds, args.batch, size, max_gt=64, min_size=size, seed=0)
+        unl = (
+            make_unlabeled_loader(unlabeled_ds, args.batch, size, min_size=size, seed=1)
+            if with_mt
+            else None
+        )
+        t0 = time.time()
+        trainer = MTTrainer(model, params, cfg, src, unl, output_dir=out_dir)
+        state = trainer.train()
+        host = jax.device_get(state)
+        print(f"[{arm}] trained {args.iters} iters in {time.time()-t0:.0f}s", flush=True)
+
+        val_loader = make_test_loader(val_ds, args.batch, size, max_gt=64, min_size=size)
+        results[f"{arm}_student"] = evaluate(model, host.params, val_loader)
+        val_loader = make_test_loader(val_ds, args.batch, size, max_gt=64, min_size=size)
+        results[f"{arm}_teacher"] = evaluate(model, host.teacher_params, val_loader)
+        print(f"[{arm}] student: {results[f'{arm}_student']}", flush=True)
+        print(f"[{arm}] teacher: {results[f'{arm}_teacher']}", flush=True)
+
+    results["meta"] = {
+        "iters": args.iters,
+        "start_mt": args.start_mt,
+        "labeled_windows": len(train_ds),
+        "unlabeled_patches": len(unlabeled_ds),
+        "total_seconds": round(time.time() - t_all, 1),
+    }
+    print(json.dumps(results, indent=2))
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

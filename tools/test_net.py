@@ -91,6 +91,7 @@ def main():
         )
         stats, timing = run_inference(
             model, params, loader, mesh=mesh,
+            eval_workers=int(getattr(cfg.TEST, "EVAL_WORKERS", 0)),
             visual_num=cfg.TEST.VISUAL_NUM,
             visual_dir=os.path.join(out_dir, f"vis_{name}") if cfg.TEST.VISUAL_NUM else None,
             mat_dir=os.path.join(out_dir, f"mat_{name}") if cfg.TEST.GEN else None,
