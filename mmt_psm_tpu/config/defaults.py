@@ -280,7 +280,7 @@ def _default_config() -> ConfigNode:
     C.TEST.VISUAL_NUM = 0
     # host-eval process-pool size (TPU addition): parallelizes the
     # per-image paste+Papeval stage (engine/_eval_worker.py); 0 = serial
-    C.TEST.EVAL_WORKERS = 8
+    C.TEST.EVAL_WORKERS = -1  # -1 = auto (workers only when spare cores exist)
 
     # ----------------------------------------------------------------- TPU
     # New (no reference equivalent): static-shape + mesh knobs for XLA.

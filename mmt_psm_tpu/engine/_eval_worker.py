@@ -18,6 +18,12 @@ from ..evaluation.pap_eval import PapEvaluator
 from .paste import detections_to_instseg
 
 
+def ping() -> bool:
+    """No-op used to force worker processes to boot eagerly (imports
+    amortize against device inference instead of the first real task)."""
+    return True
+
+
 def eval_one(payload):
     """One image end-to-end: returns the list of ImageResult rows the
     main-process PapEvaluator would have appended.

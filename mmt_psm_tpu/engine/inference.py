@@ -110,7 +110,10 @@ def run_inference(
     eval_workers: >0 farms the per-image paste+scoring (the ~250 ms/img
     host bottleneck) to a spawn process pool (engine/_eval_worker.py);
     GT conversion stays in-process so full-frame bitmasks never cross
-    the pipe. Requires the default PapEvaluator.
+    the pipe. Requires the default PapEvaluator. -1 = auto: one worker
+    per spare core, and SERIAL on hosts without spare cores (measured:
+    on a 1-core host any pool is strictly slower than serial; on
+    multi-core the per-image work scales ~linearly per worker).
     """
 
     infer = _cached_infer(model)
@@ -136,14 +139,46 @@ def run_inference(
             device_in = {"image": batch["image"], "image_size": batch["image_size"]}
         return infer(params, device_in["image"], device_in["image_size"])
 
+    if eval_workers < 0:
+        import os as _os
+
+        ncpu = _os.cpu_count() or 1
+        eval_workers = max(ncpu - 1, 0) if ncpu > 2 else 0
     pool = None
     if eval_workers > 0 and evaluator is None:
         import multiprocessing as mp
+        import os
         from concurrent.futures import ProcessPoolExecutor
 
-        pool = ProcessPoolExecutor(
-            max_workers=eval_workers, mp_context=mp.get_context("spawn")
-        )
+        from . import _eval_worker
+
+        # spawn the workers NOW, inside an env window that (a) drops the
+        # TPU-plugin sitecustomize path + platform pin so children never
+        # touch the device tunnel, and (b) points PYTHONPATH at this
+        # repo so the worker module imports in non-installed layouts.
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        saved = {
+            k: os.environ.get(k)
+            for k in ("PYTHONPATH", "JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")
+        }
+        try:
+            os.environ["PYTHONPATH"] = repo_root
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+            pool = ProcessPoolExecutor(
+                max_workers=eval_workers, mp_context=mp.get_context("spawn")
+            )
+            # submitting N tasks forces all N processes to start (env is
+            # snapshotted at process start); no need to wait for them —
+            # they boot while device inference warms up
+            for _ in range(eval_workers):
+                pool.submit(_eval_worker.ping)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
     evaluator = evaluator or PapEvaluator(categories=categories, max_dets=max_dets)
     # image-ordered result slots: either a Future (pool path) or a
     # ready list of ImageResult rows (serial path) — keeps accumulation
@@ -249,6 +284,15 @@ def run_inference(
             rows = slot.result() if hasattr(slot, "result") else slot
             evaluator.results.extend(rows)
         pool.shutdown()
+    # multi-host: merge per-image rows across processes (the reference's
+    # tmpdir scatter_gather at engine/inference.py:44-67 + comm.py:81-147;
+    # here a pickle all_gather over the fabric), rank-major so stats are
+    # deterministic
+    from ..parallel import comm as _comm
+
+    if _comm.get_world_size() > 1 and hasattr(evaluator, "results"):
+        gathered = _comm.all_gather(evaluator.results)
+        evaluator.results = [row for rows in gathered for row in rows]
     dt_total = time.perf_counter() - t0
     stats = evaluator.summarize()
     return stats, {"images": n_images, "seconds": dt_total, "images_per_sec": n_images / max(dt_total, 1e-9)}

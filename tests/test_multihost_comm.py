@@ -48,6 +48,35 @@ WORKER = textwrap.dedent(
     assert abs(reduced["loss"] - 1.5) < 1e-9
     assert abs(reduced["acc"] - 0.5) < 1e-9
 
+    # sharded-eval merge: each rank scores its own images, rows merge
+    # across hosts exactly like run_inference's world>1 finalize
+    import numpy as np
+    from mmt_psm_tpu.evaluation.instmask import InstSeg
+    from mmt_psm_tpu.evaluation.pap_eval import PapEvaluator
+
+    def make(seed):
+        r = np.random.default_rng(seed)
+        masks = np.zeros((3, 64, 64), bool)
+        for i in range(3):
+            y, x = r.integers(8, 48, 2)
+            masks[i, y : y + 12, x : x + 12] = True
+        dt = InstSeg.from_full_masks(masks, scores=r.uniform(0.2, 1, 3))
+        gt = InstSeg.from_full_masks(masks[::-1].copy())
+        return {1: dt}, {1: gt}
+
+    local = PapEvaluator(categories=(1,))
+    for seed in (rank * 2, rank * 2 + 1):
+        local.add_image(*make(seed))
+    gathered_rows = comm.all_gather(local.results)
+    merged = PapEvaluator(categories=(1,))
+    merged.results = [row for rows in gathered_rows for row in rows]
+
+    ref = PapEvaluator(categories=(1,))
+    for seed in (0, 1, 2, 3):
+        ref.add_image(*make(seed))
+    for key in ("AJI", "F1", "mAP"):
+        assert abs(merged.summarize()[key][1] - ref.summarize()[key][1]) < 1e-12
+
     comm.synchronize()
     print(json.dumps({"rank": rank, "ok": True}))
     """
