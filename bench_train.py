@@ -83,7 +83,9 @@ def main():
     state = create_train_state(params, tx, with_teacher=True)
     state = state.replace(step=jnp.asarray(mt.start_mt + 1, jnp.int32))
 
-    sup_step = jax.jit(make_supervised_step(model, tx, ema_alpha=mt.alpha))
+    sup_step = jax.jit(
+        make_supervised_step(model, tx, ema_alpha=mt.alpha, ema_start=mt.start_mt - 10)
+    )
     mt_step = jax.jit(make_mt_step(model, tx, mt))
     rng = jax.random.PRNGKey(7)
 

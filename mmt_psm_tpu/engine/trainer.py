@@ -70,7 +70,15 @@ class MTTrainer:
         self.ckpt_t = Checkpointer(output_dir, "t_model")
         self.logger.info(f"data-parallel mesh: {self.mesh.size} device(s)")
 
-        self._sup_step = jax.jit(make_supervised_step(self.model, self.tx, ema_alpha=self.mt.alpha))
+        # the reference EMAs the teacher only when lambda > 0 and
+        # iteration > start_mt - 10 (MTtrainer.py:195-196); lambda = 0
+        # runs never touch the teacher
+        ema_start = (self.mt.start_mt - 10) if self.mt.lambda_ > 0 else None
+        self._sup_step = jax.jit(
+            make_supervised_step(
+                self.model, self.tx, ema_alpha=self.mt.alpha, ema_start=ema_start
+            )
+        )
         self._mt_step = jax.jit(make_mt_step(self.model, self.tx, self.mt)) if unlabeled_loader else None
         self.rng = replicate(jax.random.PRNGKey(0), self.mesh)
 

@@ -45,8 +45,20 @@ def batch_to_gt(batch) -> GroundTruth:
     )
 
 
-def make_supervised_step(model, tx, ema_alpha: float | None = None):
-    """Returns a jittable (state, batch, rng) -> (state, metrics) step."""
+def make_supervised_step(
+    model, tx, ema_alpha: float | None = None, ema_start: int | None = None
+):
+    """Returns a jittable (state, batch, rng) -> (state, metrics) step.
+
+    ``ema_start``: first-iteration gate for the teacher EMA. The
+    reference only updates the teacher when ``lambda > 0 and
+    iteration > start_mt - 10`` and counts the EMA iteration from that
+    point (MTtrainer.py:195-196) — so during an MT run's warmup the
+    teacher stays at init until ``start_mt - 10``, then snaps to the
+    student over ~10 aggressive small-``i`` updates. Pass
+    ``ema_start = start_mt - 10`` when lambda > 0, and ``None`` (no EMA
+    at all) for pure supervised runs, matching the reference exactly.
+    """
 
     def step_fn(state: TrainState, batch, rng):
         gt = batch_to_gt(batch)
@@ -69,8 +81,14 @@ def make_supervised_step(model, tx, ema_alpha: float | None = None):
         params = optax.apply_updates(state.params, updates)
 
         teacher = state.teacher_params
-        if teacher is not None and ema_alpha is not None:
-            teacher = ema_update(teacher, params, state.step, ema_alpha)
+        if teacher is not None and ema_alpha is not None and ema_start is not None:
+            gate = jnp.asarray(ema_start, jnp.int32)
+            do_ema = state.step > gate
+            ema_iter = jnp.maximum(state.step - gate, 0)
+            new_teacher = ema_update(teacher, params, ema_iter, ema_alpha)
+            teacher = jax.tree_util.tree_map(
+                lambda t_new, t_old: jnp.where(do_ema, t_new, t_old), new_teacher, teacher
+            )
 
         new_state = state.replace(
             params=params, opt_state=opt_state, step=state.step + 1, teacher_params=teacher

@@ -33,7 +33,7 @@ def test_mmt_psm_beats_supervised(tmp_path):
             [
                 sys.executable,
                 os.path.join(REPO, "scripts", "mt_lift_experiment.py"),
-                "--iters", "1200", "--start-mt", "300", "--out", out,
+                "--out", out,
             ],
             cwd=REPO,
             env=env,

@@ -64,7 +64,7 @@ def test_dp_loss_parity_1_vs_8_devices():
     cfg.SOLVER.BASE_LR = 5e-5
     cfg.SOLVER.WARMUP_ITERS = 0
     tx, _ = make_optimizer(cfg, params)
-    step = jax.jit(make_supervised_step(model, tx, ema_alpha=0.99))
+    step = jax.jit(make_supervised_step(model, tx, ema_alpha=0.99, ema_start=0))
     rng = jax.random.PRNGKey(7)
 
     results = {}

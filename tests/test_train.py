@@ -54,6 +54,51 @@ def test_ema_update():
     np.testing.assert_allclose(np.asarray(out["w"]), 0.99, rtol=1e-5)
 
 
+def test_supervised_ema_gating():
+    """The reference EMAs the teacher only past start_mt - 10, counting
+    the EMA iteration from that gate (MTtrainer.py:195-196); a gate of
+    None (lambda = 0) never touches the teacher."""
+    model = MaskRCNN(config=TINY)
+    images, sizes, gt = _batch()
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        images, sizes, gt, train=True,
+    )["params"]
+    cfg = get_cfg()
+    cfg.SOLVER.BASE_LR = 5e-5
+    cfg.SOLVER.WARMUP_ITERS = 0
+    tx, _ = make_optimizer(cfg, params)
+    batch = {
+        "image": images, "image_size": sizes, "boxes": gt.boxes,
+        "labels": gt.labels, "gt_valid": gt.valid, "masks": gt.masks,
+    }
+    rng = jax.random.PRNGKey(7)
+    leaf = lambda p: np.asarray(p["box_extractor"]["fc6"]["kernel"])
+
+    # gate at 2: while state.step <= 2 the teacher stays at init; the
+    # call with state.step == 3 is the first to move it
+    step = jax.jit(make_supervised_step(model, tx, ema_alpha=0.99, ema_start=2))
+    state = create_train_state(params, tx, with_teacher=True)
+    for i in range(4):
+        state, _ = step(state, batch, rng)
+        moved = np.abs(leaf(state.teacher_params) - leaf(params)).max() > 0
+        assert moved == (i >= 3), (i, moved)
+    # first post-gate update uses ema_iter = 1 -> alpha = 0.5: the
+    # teacher snaps halfway to the student in one step
+    np.testing.assert_allclose(
+        leaf(state.teacher_params),
+        0.5 * leaf(params) + 0.5 * leaf(state.params),
+        rtol=1e-5, atol=1e-7,
+    )
+
+    # no gate (lambda = 0): teacher stays at init forever
+    step = jax.jit(make_supervised_step(model, tx, ema_alpha=0.99, ema_start=None))
+    state = create_train_state(params, tx, with_teacher=True)
+    for _ in range(3):
+        state, _ = step(state, batch, rng)
+    np.testing.assert_array_equal(leaf(state.teacher_params), leaf(params))
+
+
 @pytest.mark.slow
 def test_supervised_steps_reduce_loss():
     model = MaskRCNN(config=TINY)
@@ -73,7 +118,7 @@ def test_supervised_steps_reduce_loss():
     cfg.SOLVER.WARMUP_ITERS = 0
     tx, _ = make_optimizer(cfg, params)
     state = create_train_state(params, tx, with_teacher=True)
-    step = jax.jit(make_supervised_step(model, tx, ema_alpha=0.99))
+    step = jax.jit(make_supervised_step(model, tx, ema_alpha=0.99, ema_start=0))
 
     batch = {
         "image": images, "image_size": sizes, "boxes": gt.boxes,

@@ -146,7 +146,10 @@ def main():
                 min_size=min_size, max_size=canvas,
             )
             final_params = {"params": jax.device_get(trainer.state.params)}
-            stats, timing = run_inference(eval_model, final_params, loader)
+            stats, timing = run_inference(
+                eval_model, final_params, loader,
+                eval_workers=int(getattr(cfg.TEST, "EVAL_WORKERS", 0)),
+            )
             aji = {str(k): v for k, v in stats["AJI"].items()}
             summary = {
                 "AJI": aji,
