@@ -173,6 +173,14 @@ def main():
         state = trainer.train()
         host = jax.device_get(state)
         print(f"[{arm}] trained {args.iters} iters in {time.time()-t0:.0f}s", flush=True)
+        # persist final student/teacher for post-hoc diagnostics
+        # (pseudo-label quality probes etc.)
+        from mmt_psm_tpu.utils.checkpoint import Checkpointer
+
+        ck = Checkpointer(out_dir, f"{arm}_final")
+        ck.save(f"{arm}_final_student", host.params, tag=False)
+        if with_mt:
+            ck.save(f"{arm}_final_teacher", host.teacher_params, tag=False)
 
         val_loader = make_test_loader(val_ds, args.batch, size, max_gt=64, min_size=size)
         results[f"{arm}_student"] = evaluate(model, host.params, val_loader)
