@@ -247,7 +247,7 @@ class PapUnlabeledDataset:
         return np.asarray(Image.open(p).convert("RGB"))
 
 
-def synthetic_slide_dataset(seed: int = 0, num_slides: int = 2, slide_size: int = 512, win_size: int = 256, overlap: float = 0.5, is_train: bool = True):
+def synthetic_slide_dataset(seed: int = 0, num_slides: int = 2, slide_size: int = 512, win_size: int = 256, overlap: float = 0.5, is_train: bool = True, train_ratio: float = 1.0):
     """Self-contained PapDataset over synthetic overlapping-cell slides."""
     from .synthetic import generate_sample
 
@@ -264,4 +264,6 @@ def synthetic_slide_dataset(seed: int = 0, num_slides: int = 2, slide_size: int 
                 masks=[s.masks[i].astype(bool) for i in range(n)],
             )
         )
-    return PapDataset(slides, anns, win_size=win_size, overlap=overlap, is_train=is_train)
+    return PapDataset(
+        slides, anns, win_size=win_size, overlap=overlap, is_train=is_train, train_ratio=train_ratio
+    )
