@@ -52,7 +52,9 @@ def build_model(size, with_hint: bool = False):
 def init_params(model, batch0):
     from mmt_psm_tpu.train.supervised import batch_to_gt
 
-    init_fn = jax.jit(lambda r, im, sz, gt: model.init(r, im, sz, gt, train=True))
+    # init_all touches every submodule (incl. the MGD hint adaptor,
+    # which the plain train forward never calls)
+    init_fn = jax.jit(lambda r, im, sz, gt: model.init(r, im, sz, gt, method=model.init_all))
     return init_fn(
         {
             "params": jax.random.PRNGKey(0),
