@@ -112,6 +112,11 @@ def main():
     # including the from-scratch warmup and evaluates far below the
     # student (measured: 0.419 vs 0.465 AJI at alpha 0.999 / 1200 it)
     ap.add_argument("--alpha", type=float, default=0.995)
+    # PSM's paper-described components (sharpened soft targets,
+    # highest-std hard-negative mining); the released yaml ships them
+    # off but the golden-parity tests cover both paths
+    ap.add_argument("--sharpen", action="store_true")
+    ap.add_argument("--hard-neg", action="store_true")
     ap.add_argument("--out", type=str, default="/tmp/mt_lift.json")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -164,6 +169,8 @@ def main():
         cfg.SOLVER.CHECKPOINT_PERIOD = 0
         cfg.MT.LAMBDA = args.lam if with_mt else 0.0
         cfg.MT.FG_HINT = args.fg_hint if with_mt else 0.0
+        cfg.MT.SHARPEN = bool(args.sharpen)
+        cfg.MT.HARD_NEG = bool(args.hard_neg)
         cfg.MT.ALPHA = args.alpha
         cfg.MT.START_MT = args.start_mt
         cfg.MT.RAMPUP_STEP = max(args.iters // 6, 50)
