@@ -1,4 +1,11 @@
-"""Stage-wise inference timing on the real chip (dev tool)."""
+"""Stage-wise FLAGSHIP inference timing on the real chip (dev tool).
+
+Times each stage of the graph bench.py measures (relation-NMS + mask
+relation ON, 1024 canvas, batch 8). On the axon-tunnel platform every
+host sync costs a ~RTT round trip, so a trivial-transfer baseline is
+measured and reported alongside; stage times are raw (subtract the
+baseline mentally when comparing small stages).
+"""
 
 import sys, os, time
 
@@ -26,14 +33,23 @@ def timeit(fn, *args, iters=8, name=""):
 
 
 def main():
-    bsz = 4
-    cfg = ModelConfig(image_size=1024)
+    from mmt_psm_tpu.config import get_cfg
+
+    bsz = 8
+    ycfg = get_cfg()
+    ycfg.merge_from_file(os.path.join(os.path.dirname(__file__), "..", "configs/pap/mmt_psm_r50_fpn.yaml"))
+    cfg = ModelConfig.from_cfg(ycfg, train=False)
+    assert cfg.with_relation_nms and cfg.with_relation_mask
     model = MaskRCNN(config=cfg)
     b = generate_batch(0, bsz, image_size=1024, max_instances=64)
     images = jnp.asarray(normalize_image(b["image"]))
     sizes = jnp.asarray(np.full((bsz, 2), 1000, np.int32))
     params = jax.jit(lambda r, im, sz: model.init(r, im, sz, train=False))(
         {"params": jax.random.PRNGKey(0)}, images[:1], sizes[:1])
+
+    # host-sync baseline: everything below includes ~this much RTT
+    zero = jax.jit(lambda: jnp.zeros(()))
+    timeit(lambda: zero(), name="(host-sync baseline)")
 
     feats_fn = jax.jit(lambda p, x: model.apply(p, x, method=model.backbone_features))
     feats = timeit(feats_fn, params, images, name="backbone+fpn")
@@ -59,28 +75,37 @@ def main():
 
     box_fn = jax.jit(lambda p, f, bx: model.apply(p, f, bx, True, method=model.box_predictions))
     box_out = timeit(box_fn, params, feats, props.boxes, name="box head (pool+mlp)")
+    class_logits, box_regression, box_feats = box_out
 
-    from mmt_psm_tpu.models import box_head as BH
+    import functools
 
-    post_fn = jax.jit(
-        lambda cl, br, pb, pv, sz: BH.postprocess_boxes(
-            cl, br,
-            type(props)(boxes=pb, scores=jnp.zeros(pb.shape[:2]), valid=pv),
-            sz,
-            num_classes=cfg.num_classes,
-            score_thresh=cfg.score_thresh,
-            nms_thresh=cfg.nms_thresh,
-            detections_per_img=cfg.detections_per_img,
-            reg_weights=cfg.reg_weights,
+    from mmt_psm_tpu.models.relation import relation_nms_inference
+
+    def rel_nms(p, bf, cl, br, pb, pv, sz):
+        probs = jax.nn.softmax(cl.astype(jnp.float32), axis=-1)
+        out = model.apply(
+            p, bf, probs, br, pb, pv, sz,
+            method=lambda m, *a: m.relation_nms(*a),
         )
-    )
-    dets = timeit(post_fn, box_out[0], box_out[1], props.boxes, props.valid, sizes, name="box postproc (cls nms)")
+        return jax.vmap(functools.partial(relation_nms_inference, cfg=cfg.relation))(out)
 
-    mask_fn = jax.jit(lambda p, f, bx: model.apply(p, f, bx, method=model._mask_forward))
-    timeit(mask_fn, params, feats, dets.boxes, name="mask head (pool+convs)")
+    rel_fn = jax.jit(rel_nms)
+    boxes, scores, labels, valid = timeit(
+        rel_fn, params, box_feats, class_logits, box_regression,
+        props.boxes, props.valid, sizes, name="relation-NMS",
+    )
+
+    mask_fn = jax.jit(lambda p, f, bx, im: model.apply(p, f, bx, im, method=model._mask_forward))
+    mask_out = timeit(mask_fn, params, feats, boxes, images, name="mask head (pool+convs)")
+
+    refine_fn = jax.jit(
+        lambda p, ml, mf, lb, v: model.apply(p, ml, mf, lb, v, method=model._refine_masks)
+    )
+    timeit(refine_fn, params, mask_out[0], mask_out[1], labels, valid, name="mask relation refine")
 
     full = jax.jit(lambda p, x, s: model.apply(p, x, s, train=False).scores)
     timeit(full, params, images, sizes, name="FULL inference")
+    print(f"\nbatch {bsz}; stages include the host-sync baseline above")
 
 
 if __name__ == "__main__":
