@@ -106,18 +106,25 @@ def main():
     # the authors' own run names record la2.0 (config WEIGHT comment);
     # the released yaml ships LAMBDA 1.0 — 2.0 is their trained setting
     ap.add_argument("--lambda", dest="lam", type=float, default=2.0)
-    # ALPHA = 0.999 gives the reference a ~1000-iter EMA horizon in a
-    # 7000-iter run (1/7 of the schedule). A scaled-down run must scale
-    # the horizon too, or the teacher averages the entire trajectory
-    # including the from-scratch warmup and evaluates far below the
-    # student (measured: 0.419 vs 0.465 AJI at alpha 0.999 / 1200 it)
-    ap.add_argument("--alpha", type=float, default=0.995)
+    # 0.99 is the reference's own trained setting (scripts/train_mt.sh
+    # MT.ALPHA 0.99). Horizon must scale with the schedule: at 0.999 in
+    # a 1200-iter run the teacher EMAs the whole from-scratch warmup and
+    # lands far below its student (measured 0.419 vs 0.465 AJI); at 0.99
+    # it leads the student (measured 0.5967 vs 0.5946, v4)
+    ap.add_argument("--alpha", type=float, default=0.99)
     # PSM's paper-described components (sharpened soft targets,
     # highest-std hard-negative mining); the released yaml ships them
     # off but the golden-parity tests cover both paths
     ap.add_argument("--sharpen", action="store_true")
     ap.add_argument("--hard-neg", action="store_true")
+    # comma-separated subset of {sup,mt,oracle} to (re-)run; arms are
+    # deterministic given seeds, so unchanged arms can reuse prior numbers
+    ap.add_argument("--arms", type=str, default="")
     ap.add_argument("--out", type=str, default="/tmp/mt_lift.json")
+    # periodic checkpointing + auto-resume so a cut-off run restarts from
+    # its last save, not from scratch (resume replays the loader from its
+    # start, so a resumed run sees a shifted batch order vs a straight one)
+    ap.add_argument("--ckpt-period", type=int, default=600)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -166,7 +173,7 @@ def main():
         cfg.SOLVER.STEPS = (int(args.iters * 0.75),)
         cfg.SOLVER.WARMUP_ITERS = min(100, args.iters // 5)
         cfg.SOLVER.IMS_PER_BATCH = args.batch
-        cfg.SOLVER.CHECKPOINT_PERIOD = 0
+        cfg.SOLVER.CHECKPOINT_PERIOD = args.ckpt_period
         cfg.MT.LAMBDA = args.lam if with_mt else 0.0
         cfg.MT.FG_HINT = args.fg_hint if with_mt else 0.0
         cfg.MT.SHARPEN = bool(args.sharpen)
@@ -189,6 +196,9 @@ def main():
             seed=0, num_slides=args.oracle_slides, slide_size=2 * size, win_size=size, overlap=0.5
         )
         arms.append(("oracle", oracle_ds, False))
+    if args.arms:
+        wanted = set(args.arms.split(","))
+        arms = [a for a in arms if a[0] in wanted]
 
     results = {}
     t_all = time.time()
@@ -203,7 +213,7 @@ def main():
         )
         t0 = time.time()
         trainer = MTTrainer(model, params, cfg, src, unl, output_dir=out_dir)
-        state = trainer.train()
+        state = trainer.train(trainer.resume())
         host = jax.device_get(state)
         print(f"[{arm}] trained {args.iters} iters in {time.time()-t0:.0f}s", flush=True)
         # persist final student/teacher for post-hoc diagnostics
