@@ -48,6 +48,10 @@ class MaskRelationConfig:
     # the refine net's own deconv+classifier (SAME_PREDICTOR,
     # mask_relation_module.py:46-51, 97-107)
     same_predictor: bool = False
+    # conv-stack compute dtype; the attention core always runs f32
+    # (softmax over instance Gram energies). f32 default keeps direct
+    # module-level golden tests bit-comparable to the torch reference.
+    compute_dtype: str = "float32"
 
     @classmethod
     def from_cfg(cls, cfg):
@@ -61,6 +65,7 @@ class MaskRelationConfig:
             num_classes=cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES,
             extractor=r.FEATURE_EXTRACTOR,
             same_predictor=r.SAME_PREDICTOR,
+            compute_dtype=cfg.TPU.COMPUTE_DTYPE,
         )
 
 
@@ -145,30 +150,31 @@ class MaskRelationRefineNet(nn.Module):
         instances keep the first-pass logits).
         """
         c = self.config
+        dt = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
         init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
         lab = jnp.maximum(labels, 0)
         own = jnp.take_along_axis(mask_logits, lab[:, None, None, None], axis=-1)[..., 0]
         m = jax.nn.sigmoid(own.astype(jnp.float32))[..., None]  # [S, 2P, 2P, 1]
-        mp = nn.max_pool(m, (2, 2), strides=(2, 2))  # [S, P, P, 1]
+        mp = nn.max_pool(m, (2, 2), strides=(2, 2)).astype(dt)  # [S, P, P, 1]
 
         def conv_stack(x):
             for i in range(3):
-                x = nn.relu(nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=init, name=f"mask_fcn{i+1}")(x))
+                x = nn.relu(nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=init, dtype=dt, name=f"mask_fcn{i+1}")(x))
             return nn.relu(
-                nn.Conv(c.extractor_channel, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=init, name="extractor_conv5")(x)
+                nn.Conv(c.extractor_channel, (3, 3), padding=[(1, 1), (1, 1)], kernel_init=init, dtype=dt, name="extractor_conv5")(x)
             )
 
         if c.extractor in ("RoiAlignMaskFeatureExtractor", "SameSizeRoiAlignMaskFeatureExtractor"):
-            x = conv_stack(jnp.concatenate([roi_feats.astype(jnp.float32), mp], axis=-1))  # 257ch
+            x = conv_stack(jnp.concatenate([roi_feats.astype(dt), mp], axis=-1))  # 257ch
         elif c.extractor == "DeepFeatureExtractor":
             # RoI features only, no mask concat (:119-135)
-            x = conv_stack(roi_feats.astype(jnp.float32))
+            x = conv_stack(roi_feats.astype(dt))
         elif c.extractor == "MaskFeatureExtractor":
             # own-class mask only (:113-117)
             x = mp
         elif c.extractor == "SameFeatureMask":
             # RoI passthrough (:120-124 SameFeatureMask)
-            x = roi_feats.astype(jnp.float32)
+            x = roi_feats.astype(dt)
         else:
             raise ValueError(f"unknown relation mask extractor {c.extractor!r}")
 
@@ -184,7 +190,7 @@ class MaskRelationRefineNet(nn.Module):
             # (mask_relation_module.py:97-101)
             return x, keep
         x = nn.relu(
-            nn.ConvTranspose(x.shape[-1], (2, 2), strides=(2, 2), kernel_init=init, name="deconv_1")(x)
+            nn.ConvTranspose(x.shape[-1], (2, 2), strides=(2, 2), kernel_init=init, dtype=dt, name="deconv_1")(x)
         )
-        refined = nn.Conv(c.num_classes, (1, 1), kernel_init=init, name="classifier")(x)
-        return jnp.where(keep, refined, mask_logits)
+        refined = nn.Conv(c.num_classes, (1, 1), kernel_init=init, dtype=dt, name="classifier")(x)
+        return jnp.where(keep, refined.astype(mask_logits.dtype), mask_logits)
