@@ -49,7 +49,7 @@ def build_model(size, with_hint: bool = False):
     return MaskRCNN(config=mcfg), mcfg
 
 
-def init_params(model, batch0):
+def init_params(model, batch0, seed: int = 0):
     from mmt_psm_tpu.train.supervised import batch_to_gt
 
     # init_all touches every submodule (incl. the MGD hint adaptor,
@@ -57,9 +57,9 @@ def init_params(model, batch0):
     init_fn = jax.jit(lambda r, im, sz, gt: model.init(r, im, sz, gt, method=model.init_all))
     return init_fn(
         {
-            "params": jax.random.PRNGKey(0),
-            "sample": jax.random.PRNGKey(1),
-            "dropout": jax.random.PRNGKey(2),
+            "params": jax.random.PRNGKey(seed),
+            "sample": jax.random.PRNGKey(seed + 1),
+            "dropout": jax.random.PRNGKey(seed + 2),
         },
         batch0["image"],
         batch0["image_size"],
@@ -120,6 +120,10 @@ def main():
     # comma-separated subset of {sup,mt,oracle} to (re-)run; arms are
     # deterministic given seeds, so unchanged arms can reuse prior numbers
     ap.add_argument("--arms", type=str, default="")
+    # seed offset for robustness replicas: shifts the labeled/unlabeled
+    # generators and the init/train PRNGs together (val slides stay at
+    # their fixed seed so replicas share the held-out split)
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=str, default="/tmp/mt_lift.json")
     # periodic checkpointing + auto-resume so a cut-off run restarts from
     # its last save, not from scratch (resume replays the loader from its
@@ -146,12 +150,12 @@ def main():
 
     # labeled: a few windows of one slide — the label-scarce regime
     train_ds = synthetic_slide_dataset(
-        seed=0, num_slides=args.labeled_slides, slide_size=2 * size, win_size=size,
+        seed=args.seed, num_slides=args.labeled_slides, slide_size=2 * size, win_size=size,
         overlap=0.5, train_ratio=args.train_ratio,
     )
     # unlabeled: large pool from the SAME generative distribution
     # (different seed), as loose patches (reference Pap.py:762-866)
-    rng = np.random.default_rng(50)
+    rng = np.random.default_rng(50 + args.seed)
     patches = [
         generate_sample(rng, image_size=size, max_instances=64, num_cells=(4, 10)).image.astype(np.uint8)
         for _ in range(args.unlabeled_patches)
@@ -186,14 +190,14 @@ def main():
         os.makedirs(out_dir, exist_ok=True)
         return cfg
 
-    loader0 = make_source_loader(train_ds, args.batch, size, max_gt=64, min_size=size, seed=0)
+    loader0 = make_source_loader(train_ds, args.batch, size, max_gt=64, min_size=size, seed=args.seed)
     batch0 = {k: jnp.asarray(v) for k, v in next(loader0).items()}
-    params = init_params(model, batch0)
+    params = init_params(model, batch0, seed=args.seed)
 
     arms = [("sup", train_ds, False), ("mt", train_ds, True)]
     if args.oracle_slides > 0:
         oracle_ds = synthetic_slide_dataset(
-            seed=0, num_slides=args.oracle_slides, slide_size=2 * size, win_size=size, overlap=0.5
+            seed=args.seed, num_slides=args.oracle_slides, slide_size=2 * size, win_size=size, overlap=0.5
         )
         arms.append(("oracle", oracle_ds, False))
     if args.arms:
@@ -203,11 +207,11 @@ def main():
     results = {}
     t_all = time.time()
     for arm, arm_ds, with_mt in arms:
-        out_dir = f"/tmp/mt_lift_{arm}"
+        out_dir = f"/tmp/mt_lift_{arm}" + (f"_s{args.seed}" if args.seed else "")
         cfg = make_cfg(with_mt, out_dir)
-        src = make_source_loader(arm_ds, args.batch, size, max_gt=64, min_size=size, seed=0)
+        src = make_source_loader(arm_ds, args.batch, size, max_gt=64, min_size=size, seed=args.seed)
         unl = (
-            make_unlabeled_loader(unlabeled_ds, args.batch, size, min_size=size, seed=1)
+            make_unlabeled_loader(unlabeled_ds, args.batch, size, min_size=size, seed=1 + args.seed)
             if with_mt
             else None
         )
@@ -236,6 +240,7 @@ def main():
             print(f"[{arm}] teacher: {results[f'{arm}_teacher']}", flush=True)
 
     results["meta"] = {
+        "seed": args.seed,
         "iters": args.iters,
         "start_mt": args.start_mt,
         "lambda": args.lam,
