@@ -170,7 +170,7 @@ def main():
         flush=True,
     )
 
-    def make_cfg(with_mt: bool, out_dir: str):
+    def make_cfg(with_mt: bool, out_dir: str, odkd: bool = False):
         cfg = get_cfg()
         cfg.SOLVER.BASE_LR = args.lr
         cfg.SOLVER.MAX_ITER = args.iters
@@ -179,7 +179,11 @@ def main():
         cfg.SOLVER.IMS_PER_BATCH = args.batch
         cfg.SOLVER.CHECKPOINT_PERIOD = args.ckpt_period
         cfg.MT.LAMBDA = args.lam if with_mt else 0.0
-        cfg.MT.FG_HINT = args.fg_hint if with_mt else 0.0
+        # the odkd arm swaps MGD for the baseline's naive unmasked hint
+        # (both flags are independent in the reference — forward_student
+        # generalized_rcnn.py:177-189 — but the paper's comparison row
+        # is ODKD-without-MGD)
+        cfg.MT.FG_HINT = args.fg_hint if (with_mt and not odkd) else 0.0
         cfg.MT.SHARPEN = bool(args.sharpen)
         cfg.MT.HARD_NEG = bool(args.hard_neg)
         cfg.MT.ALPHA = args.alpha
@@ -187,6 +191,12 @@ def main():
         cfg.MT.RAMPUP_STEP = max(args.iters // 6, 50)
         cfg.MT.RAMPDOWN_STEP = max(args.iters // 6, 50)
         cfg.MT.MAX_ITER = args.iters
+        # ODKD comparison arm: the reference's retained distillation
+        # baseline (generalized_rcnn.py:193-196 — single-view soft CE +
+        # naive unmasked hint MSE instead of PSM + MGD). Same unlabeled
+        # budget/schedule as the mt arm; only the consistency mechanism
+        # differs, reproducing the paper's ablation axis.
+        cfg.MT.ODKD = bool(odkd)
         os.makedirs(out_dir, exist_ok=True)
         return cfg
 
@@ -195,6 +205,9 @@ def main():
     params = init_params(model, batch0, seed=args.seed)
 
     arms = [("sup", train_ds, False), ("mt", train_ds, True)]
+    # opt-in (never part of the default sweep): the ODKD baseline arm
+    if args.arms and "odkd" in args.arms.split(","):
+        arms.append(("odkd", train_ds, True))
     if args.oracle_slides > 0:
         oracle_ds = synthetic_slide_dataset(
             seed=args.seed, num_slides=args.oracle_slides, slide_size=2 * size, win_size=size, overlap=0.5
@@ -208,7 +221,7 @@ def main():
     t_all = time.time()
     for arm, arm_ds, with_mt in arms:
         out_dir = f"/tmp/mt_lift_{arm}" + (f"_s{args.seed}" if args.seed else "")
-        cfg = make_cfg(with_mt, out_dir)
+        cfg = make_cfg(with_mt, out_dir, odkd=(arm == "odkd"))
         src = make_source_loader(arm_ds, args.batch, size, max_gt=64, min_size=size, seed=args.seed)
         unl = (
             make_unlabeled_loader(unlabeled_ds, args.batch, size, min_size=size, seed=1 + args.seed)
