@@ -83,11 +83,12 @@ def main():
     state = create_train_state(params, tx, with_teacher=True)
     state = state.replace(step=jnp.asarray(mt.start_mt + 1, jnp.int32))
 
-    sup_step = jax.jit(
-        make_supervised_step(model, tx, ema_alpha=mt.alpha, ema_start=mt.start_mt - 10)
-    )
-    mt_step = jax.jit(make_mt_step(model, tx, mt))
     rng = jax.random.PRNGKey(7)
+
+    def step_flops(compiled):
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        return float(ca.get("flops", float("nan")))
 
     def bench(step_fn, args, iters=10):
         s = state
@@ -102,10 +103,36 @@ def main():
         float(jnp.stack(ms).sum())  # one draining read
         return (time.perf_counter() - t0) / iters * 1000
 
+    # Compile-then-bench each step in sequence: benching the supervised
+    # step with the (much larger) MT executable already resident was
+    # measured 5.5x slower than benching it alone (206 ms -> 1146 ms on
+    # the same chip) — keep each program's bench window clean.
+    sup_step = (
+        jax.jit(
+            make_supervised_step(
+                model, tx, ema_alpha=mt.alpha, ema_start=mt.start_mt - 10
+            )
+        )
+        .lower(state, labeled, rng)
+        .compile()
+    )
     sup_ms = bench(sup_step, (labeled, rng))
-    mt_ms = bench(mt_step, (labeled, unlabeled, rng))
+    sup_fl = step_flops(sup_step)
+    del sup_step
 
-    for name, ms in (("supervised_train_step", sup_ms), ("mmt_psm_train_step", mt_ms)):
+    mt_step = (
+        jax.jit(make_mt_step(model, tx, mt))
+        .lower(state, labeled, unlabeled, rng)
+        .compile()
+    )
+    mt_ms = bench(mt_step, (labeled, unlabeled, rng))
+    mt_fl = step_flops(mt_step)
+
+    PEAK_BF16 = 197e12  # v5e bf16 peak FLOP/s
+    for name, ms, fl in (
+        ("supervised_train_step", sup_ms, sup_fl),
+        ("mmt_psm_train_step", mt_ms, mt_fl),
+    ):
         print(
             json.dumps(
                 {
@@ -113,6 +140,8 @@ def main():
                     "value": round(ms, 1),
                     "unit": "ms/iter",
                     "vs_baseline": round(REF_MS_PER_IT / ms, 2),
+                    "gflop_per_iter": round(fl / 1e9, 1),
+                    "mfu": round(fl / (ms / 1e3) / PEAK_BF16, 4),
                 }
             )
         )
