@@ -506,8 +506,19 @@ class MaskRCNN(nn.Module):
 
     # -- inference --------------------------------------------------------
     def forward_test(self, images, image_sizes) -> Detections:
-        c = self.config
         features = self.extract_features(images)
+        return self.detections_from_features(features, image_sizes, images)
+
+    def detections_from_features(self, features, image_sizes, images=None) -> Detections:
+        """Test-mode detection from an already-computed feature pyramid.
+
+        Split out of forward_test so callers that already hold the
+        features (the MT teacher's batched 2K-view backbone pass,
+        generalized_rcnn.py:122-127 + :201-215) don't pay a second
+        backbone pass over view 0. ``images`` is only needed by the
+        PRCNN raw-image mask extractor.
+        """
+        c = self.config
         objectness, box_reg = self.rpn_head(features)
         anchors = self._anchors()
         proposals = RPN.select_proposals(

@@ -334,26 +334,11 @@ def unlabeled_losses(model, student_params, teacher_params, batch, rng, mt: MTCo
     canvas_size = c.image_size // mt.mgd_canvas_stride
 
     # ---- teacher (no grad) ---------------------------------------------
-    if targets is not None:
-        pseudo = GroundTruth(boxes=targets.boxes, labels=targets.labels, valid=targets.valid)
-        dets = None
-        integral = (
-            gt_integral_canvas(targets.masks, targets.valid, canvas_size) if use_mgd else None
-        )
-    else:
-        dets = model.apply(tvars, t_images[:, 0], sizes, train=False)
-        dets = jax.lax.stop_gradient(dets)
-        pseudo = GroundTruth(boxes=dets.boxes, labels=dets.labels, valid=dets.valid)
-
-        integral = None
-        if use_mgd:
-            integral = jax.vmap(
-                lambda m, b, v: paste_integral(m, b, v, canvas_size, float(mt.mgd_canvas_stride))
-            )(dets.masks, dets.boxes, dets.valid)  # [B, Hc, Wc]
-
     # 2K teacher feature pyramids: each aug view and its flip, batched as
     # one [2K*B] backbone pass (bigger convs ride the MXU better than 2K
-    # sequential B-sized passes — SURVEY §7 stage 7)
+    # sequential B-sized passes — SURVEY §7 stage 7). Computed FIRST so
+    # the pseudo-labeling inference below reuses the view-0 pyramid
+    # instead of paying a second backbone+RPN pass over the same pixels.
     bsz = t_images.shape[0]
     view_imgs = []
     for k in range(mt.aug_k):
@@ -366,6 +351,26 @@ def unlabeled_losses(model, student_params, teacher_params, batch, rng, mt: MTCo
     t_feats = [
         tuple(f[v * bsz : (v + 1) * bsz] for f in feats_all) for v in range(n_views)
     ]
+
+    if targets is not None:
+        pseudo = GroundTruth(boxes=targets.boxes, labels=targets.labels, valid=targets.valid)
+        dets = None
+        integral = (
+            gt_integral_canvas(targets.masks, targets.valid, canvas_size) if use_mgd else None
+        )
+    else:
+        dets = model.apply(
+            tvars, t_feats[0], sizes, t_images[:, 0],
+            method=model.detections_from_features,
+        )
+        dets = jax.lax.stop_gradient(dets)
+        pseudo = GroundTruth(boxes=dets.boxes, labels=dets.labels, valid=dets.valid)
+
+        integral = None
+        if use_mgd:
+            integral = jax.vmap(
+                lambda m, b, v: paste_integral(m, b, v, canvas_size, float(mt.mgd_canvas_stride))
+            )(dets.masks, dets.boxes, dets.valid)  # [B, Hc, Wc]
     t_embs = None
     if use_mgd:
         embs_all = model.apply(tvars, feats_all, method=model.hint_embeddings)

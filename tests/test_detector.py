@@ -108,3 +108,21 @@ def test_train_step_gradients(model_and_params):
     assert float(jnp.abs(g_stem).sum()) == 0.0
     g_l3 = grads["params"]["backbone"]["body"]["layer3_0"]["conv1"]["kernel"]
     assert float(jnp.abs(g_l3).sum()) > 0.0
+
+
+@pytest.mark.slow
+def test_detections_from_features_matches_forward_test(model_and_params):
+    """The features-in test forward (the MT teacher's pseudo-labeling
+    entry, which reuses the batched 2K-view backbone pass) must
+    bit-match the image-in forward_test."""
+    model, params = model_and_params
+    images, sizes, _ = _batch()
+    ref = model.apply(params, images, sizes, train=False)
+    feats = model.apply(params, images, method=model.extract_features)
+    out = model.apply(
+        params, feats, sizes, images, method=model.detections_from_features
+    )
+    for name in ("boxes", "scores", "labels", "valid", "masks"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, name)), np.asarray(getattr(out, name)), err_msg=name
+        )
