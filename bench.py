@@ -25,6 +25,11 @@ BASELINE_PER_CHIP = 25.0  # patches/sec/chip (200 on v5e-8)
 
 
 def main():
+    # NOTE: deliberately NOT enabling the persistent compilation cache
+    # here: cache serialization of the flagship executable on this
+    # 1-core bench host was measured stealing enough host CPU from the
+    # dispatch loop to corrupt the timed window (4.4 p/s reading on a
+    # cold cache vs 91 steady). The bench always compiles fresh.
     from mmt_psm_tpu.config import get_cfg
     from mmt_psm_tpu.data.synthetic import generate_batch, normalize_image
     from mmt_psm_tpu.models import MaskRCNN, ModelConfig

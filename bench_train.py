@@ -26,6 +26,8 @@ REF_MS_PER_IT = 1200.0  # reference 1-GPU MT loop cadence (order of magnitude)
 
 
 def main():
+    # no persistent compile cache here — see the note in bench.py (cache
+    # serialization contends with the timed dispatch loop on this host)
     from mmt_psm_tpu.config import get_cfg
     from mmt_psm_tpu.data.synthetic import generate_batch, normalize_image
     from mmt_psm_tpu.models import MaskRCNN, ModelConfig

@@ -377,10 +377,15 @@ def _fwd(features, boxes, scales, output_size, sampling_ratio, window, interpret
 
 def _bwd(scales, output_size, sampling_ratio, window, interpret, res, g):
     features, boxes = res
-    _, vjp = jax.vjp(
+    # ROIAlign is linear in the features (the interpolation matrices
+    # depend only on the boxes), so the cotangent is the pure transpose
+    # of the dense formulation. linear_transpose evaluates ONLY the
+    # transposed jaxpr — unlike jax.vjp, which would re-run the full
+    # dense forward (~3x the FLOPs) just to throw its primal away.
+    transpose = jax.linear_transpose(
         lambda f: _dense_pool(f, boxes, scales, output_size, sampling_ratio), features
     )
-    return vjp(g)[0], None
+    return transpose(g)[0], None
 
 
 multilevel_roi_align_pallas.defvjp(_fwd, _bwd)

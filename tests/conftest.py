@@ -19,3 +19,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Reuse compiled executables across test runs: on a small CI host the
+# suite's cost is dominated by hundreds of XLA CPU compiles, which are
+# identical from run to run.
+from mmt_psm_tpu.utils.env import enable_persistent_compilation_cache  # noqa: E402
+
+enable_persistent_compilation_cache()

@@ -18,6 +18,9 @@ import numpy as np
 
 
 def main():
+    from mmt_psm_tpu.utils.env import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     parser = argparse.ArgumentParser(description="TPU eval sweep")
     parser.add_argument("--config-file", default="", type=str)
     parser.add_argument("--ckpt-dir", required=True, type=str)

@@ -22,6 +22,9 @@ import numpy as np
 
 
 def main():
+    from mmt_psm_tpu.utils.env import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     parser = argparse.ArgumentParser(description="TPU mean-teacher training")
     parser.add_argument("--config-file", default="", type=str)
     parser.add_argument("--synthetic", action="store_true", help="train on synthetic slides")
