@@ -113,4 +113,73 @@ void rle_decode(const int64_t* counts, int64_t n_counts, int64_t h,
   }
 }
 
+// COCO-style greedy dt->gt matching per IoU threshold (reference
+// pap_eval.py:480-509). Detections arrive pre-sorted by score; for each
+// threshold each dt takes the best still-unmatched gt with IoU above
+// the running bar, ties resolved toward the LATER gt index (the
+// reference updates on `>=` by skipping only strictly-lower IoUs).
+// dtm[t*d]: matched gt index + 1 (0 = unmatched); gtm[t*g] likewise.
+void map_matches(const double* ious, int64_t d, int64_t g,
+                 const double* thrs, int64_t t,
+                 double* dtm, double* gtm) {
+  for (int64_t ti = 0; ti < t; ++ti) {
+    double* dm = dtm + ti * d;
+    double* gm = gtm + ti * g;
+    for (int64_t i = 0; i < d; ++i) dm[i] = 0.0;
+    for (int64_t j = 0; j < g; ++j) gm[j] = 0.0;
+    for (int64_t di = 0; di < d; ++di) {
+      double bar = thrs[ti] < 1.0 - 1e-10 ? thrs[ti] : 1.0 - 1e-10;
+      int64_t m = -1;
+      const double* row = ious + di * g;
+      for (int64_t gi = 0; gi < g; ++gi) {
+        if (gm[gi] > 0.0) continue;
+        if (row[gi] < bar) continue;
+        bar = row[gi];
+        m = gi;
+      }
+      if (m == -1) continue;
+      dm[di] = (double)(m + 1);
+      gm[m] = (double)(di + 1);
+    }
+  }
+}
+
+// Per-image AJI (reference pap_eval.py:573-630): greedy per-gt best-IoU
+// (>= 0.5) match over still-unmatched dts, accumulating the matched
+// pair's intersection and union; unmatched dt and gt areas are added to
+// the union. Tie semantics identical to map_matches (later dt wins on
+// equal IoU). Returns sum(I)/sum(U), or 0 when U == 0.
+double aji_match(const double* ious, const double* inter, const double* uni,
+                 int64_t d, int64_t g,
+                 const double* dt_areas, const double* gt_areas) {
+  double i_sum = 0.0, u_sum = 0.0;
+  if (d == 0 || g == 0) return 0.0;
+  uint8_t* dt_matched = new uint8_t[d]();
+  for (int64_t gi = 0; gi < g; ++gi) {
+    double bar = 0.5;  // min(0.5, 1 - 1e-10)
+    int64_t m = -1;
+    double mi = 0.0, mu = 0.0;
+    for (int64_t di = 0; di < d; ++di) {
+      if (dt_matched[di]) continue;
+      const double v = ious[di * g + gi];
+      if (v < bar) continue;
+      bar = v;
+      mi = inter[di * g + gi];
+      mu = uni[di * g + gi];
+      m = di;
+    }
+    if (m == -1) {
+      u_sum += gt_areas[gi];
+      continue;
+    }
+    dt_matched[m] = 1;
+    i_sum += mi;
+    u_sum += mu;
+  }
+  for (int64_t di = 0; di < d; ++di)
+    if (!dt_matched[di]) u_sum += dt_areas[di];
+  delete[] dt_matched;
+  return u_sum > 0.0 ? i_sum / u_sum : 0.0;
+}
+
 }  // extern "C"

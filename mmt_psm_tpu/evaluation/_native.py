@@ -42,6 +42,15 @@ def _build_and_load():
         lib.rle_encode.restype = ctypes.c_int64
         lib.rle_decode.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, u8p]
         lib.rle_decode.restype = None
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.map_matches.argtypes = [
+            f64p, ctypes.c_int64, ctypes.c_int64, f64p, ctypes.c_int64, f64p, f64p,
+        ]
+        lib.map_matches.restype = None
+        lib.aji_match.argtypes = [
+            f64p, f64p, f64p, ctypes.c_int64, ctypes.c_int64, f64p, f64p,
+        ]
+        lib.aji_match.restype = ctypes.c_double
         _LIB = lib
     except Exception:
         _LIB = None
@@ -103,6 +112,54 @@ def rle_encode(mask: np.ndarray) -> np.ndarray:
         counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return counts[:n].copy()
+
+
+def map_matches(ious: np.ndarray, thrs: np.ndarray, n_dt: int, n_gt: int):
+    """COCO-style greedy (dtm, gtm) per IoU threshold (native path).
+
+    Bit-exact with the Python loops in pap_eval.cal_map_matches
+    (reference pap_eval.py:480-509) — tie handling and the 1-1e-10
+    clamp are replicated in csrc/papeval.cpp map_matches.
+    """
+    lib = _build_and_load()
+    assert lib is not None
+    t = len(thrs)
+    dtm = np.zeros((t, n_dt), np.float64)
+    gtm = np.zeros((t, n_gt), np.float64)
+    if n_dt == 0 or n_gt == 0:
+        return dtm, gtm
+    ious = np.ascontiguousarray(ious, np.float64)
+    thrs = np.ascontiguousarray(thrs, np.float64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.map_matches(
+        ious.ctypes.data_as(f64p), n_dt, n_gt,
+        thrs.ctypes.data_as(f64p), t,
+        dtm.ctypes.data_as(f64p), gtm.ctypes.data_as(f64p),
+    )
+    return dtm, gtm
+
+
+def aji_match(ious, inter, union, dt_areas, gt_areas) -> float:
+    """Per-image AJI via the greedy per-gt match (native path); exact
+    semantics of pap_eval.compute_aji (reference pap_eval.py:573-630)."""
+    lib = _build_and_load()
+    assert lib is not None
+    d, g = ious.shape
+    if d == 0 or g == 0:
+        return 0.0
+    f64p = ctypes.POINTER(ctypes.c_double)
+    ious = np.ascontiguousarray(ious, np.float64)
+    inter = np.ascontiguousarray(inter, np.float64)
+    union = np.ascontiguousarray(union, np.float64)
+    dt_areas = np.ascontiguousarray(dt_areas, np.float64)
+    gt_areas = np.ascontiguousarray(gt_areas, np.float64)
+    return float(
+        lib.aji_match(
+            ious.ctypes.data_as(f64p), inter.ctypes.data_as(f64p),
+            union.ctypes.data_as(f64p), d, g,
+            dt_areas.ctypes.data_as(f64p), gt_areas.ctypes.data_as(f64p),
+        )
+    )
 
 
 def rle_decode(counts: np.ndarray, h: int, w: int) -> np.ndarray:
