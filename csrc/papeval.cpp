@@ -15,6 +15,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -154,7 +155,7 @@ double aji_match(const double* ious, const double* inter, const double* uni,
                  const double* dt_areas, const double* gt_areas) {
   double i_sum = 0.0, u_sum = 0.0;
   if (d == 0 || g == 0) return 0.0;
-  uint8_t* dt_matched = new uint8_t[d]();
+  std::vector<uint8_t> dt_matched(d, 0);
   for (int64_t gi = 0; gi < g; ++gi) {
     double bar = 0.5;  // min(0.5, 1 - 1e-10)
     int64_t m = -1;
@@ -178,7 +179,6 @@ double aji_match(const double* ious, const double* inter, const double* uni,
   }
   for (int64_t di = 0; di < d; ++di)
     if (!dt_matched[di]) u_sum += dt_areas[di];
-  delete[] dt_matched;
   return u_sum > 0.0 ? i_sum / u_sum : 0.0;
 }
 

@@ -126,9 +126,12 @@ def map_matches(ious: np.ndarray, thrs: np.ndarray, n_dt: int, n_gt: int):
     t = len(thrs)
     dtm = np.zeros((t, n_dt), np.float64)
     gtm = np.zeros((t, n_gt), np.float64)
-    if n_dt == 0 or n_gt == 0:
+    if n_dt == 0 or n_gt == 0 or ious is None or np.size(ious) == 0:
         return dtm, gtm
     ious = np.ascontiguousarray(ious, np.float64)
+    # n_dt/n_gt become raw pointer strides in C++ — a mismatch would
+    # read/write out of bounds in native code.
+    assert ious.shape == (n_dt, n_gt), (ious.shape, n_dt, n_gt)
     thrs = np.ascontiguousarray(thrs, np.float64)
     f64p = ctypes.POINTER(ctypes.c_double)
     lib.map_matches(
@@ -144,15 +147,18 @@ def aji_match(ious, inter, union, dt_areas, gt_areas) -> float:
     semantics of pap_eval.compute_aji (reference pap_eval.py:573-630)."""
     lib = _build_and_load()
     assert lib is not None
-    d, g = ious.shape
-    if d == 0 or g == 0:
+    if ious is None or np.size(ious) == 0:
         return 0.0
-    f64p = ctypes.POINTER(ctypes.c_double)
     ious = np.ascontiguousarray(ious, np.float64)
+    assert ious.ndim == 2, ious.shape
+    d, g = ious.shape
+    f64p = ctypes.POINTER(ctypes.c_double)
     inter = np.ascontiguousarray(inter, np.float64)
     union = np.ascontiguousarray(union, np.float64)
     dt_areas = np.ascontiguousarray(dt_areas, np.float64)
     gt_areas = np.ascontiguousarray(gt_areas, np.float64)
+    assert inter.shape == (d, g) and union.shape == (d, g), (inter.shape, union.shape)
+    assert len(dt_areas) == d and len(gt_areas) == g, (len(dt_areas), len(gt_areas), d, g)
     return float(
         lib.aji_match(
             ious.ctypes.data_as(f64p), inter.ctypes.data_as(f64p),

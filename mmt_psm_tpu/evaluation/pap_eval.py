@@ -136,13 +136,15 @@ def cal_map_matches(n_dt, n_gt, ious, thrs=IOU_THRS):
     """
     from . import _native
 
-    if ious is not None and np.size(ious) and _native.available():
-        return _native.map_matches(ious, np.asarray(thrs, np.float64), n_dt, n_gt)
     T = len(thrs)
+    # Empty guard first, then a pure availability gate — identical
+    # dispatch structure to compute_aji (advisor r3).
+    if ious is None or np.size(ious) == 0:
+        return np.zeros((T, n_dt)), np.zeros((T, n_gt))
+    if _native.available():
+        return _native.map_matches(ious, np.asarray(thrs, np.float64), n_dt, n_gt)
     gtm = np.zeros((T, n_gt))
     dtm = np.zeros((T, n_dt))
-    if ious is None or np.size(ious) == 0:
-        return dtm, gtm
     for tind, t in enumerate(thrs):
         for dind in range(n_dt):
             iou = min(t, 1 - 1e-10)

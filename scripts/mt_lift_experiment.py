@@ -117,7 +117,7 @@ def main():
     # off but the golden-parity tests cover both paths
     ap.add_argument("--sharpen", action="store_true")
     ap.add_argument("--hard-neg", action="store_true")
-    # comma-separated subset of {sup,mt,oracle} to (re-)run; arms are
+    # comma-separated subset of {sup,mt,oracle,odkd,psm,mgd} to (re-)run; arms are
     # deterministic given seeds, so unchanged arms can reuse prior numbers
     ap.add_argument("--arms", type=str, default="")
     # seed offset for robustness replicas: shifts the labeled/unlabeled
@@ -170,7 +170,7 @@ def main():
         flush=True,
     )
 
-    def make_cfg(with_mt: bool, out_dir: str, odkd: bool = False):
+    def make_cfg(with_mt: bool, out_dir: str, odkd: bool = False, arm: str = ""):
         cfg = get_cfg()
         cfg.SOLVER.BASE_LR = args.lr
         cfg.SOLVER.MAX_ITER = args.iters
@@ -184,6 +184,14 @@ def main():
         # generalized_rcnn.py:177-189 — but the paper's comparison row
         # is ODKD-without-MGD)
         cfg.MT.FG_HINT = args.fg_hint if (with_mt and not odkd) else 0.0
+        # component-decomposition arms (the paper's Table-2 axis):
+        # psm = PSM soft-matching consistency alone (MGD hint off);
+        # mgd = MGD masked feature distillation alone (PSM cls loss off —
+        # CLS_LOSS gates mt_classifier, box_head/loss.py:185-237)
+        if arm == "psm":
+            cfg.MT.FG_HINT = 0.0
+        elif arm == "mgd":
+            cfg.MT.CLS_LOSS = 0.0
         cfg.MT.SHARPEN = bool(args.sharpen)
         cfg.MT.HARD_NEG = bool(args.hard_neg)
         cfg.MT.ALPHA = args.alpha
@@ -205,9 +213,12 @@ def main():
     params = init_params(model, batch0, seed=args.seed)
 
     arms = [("sup", train_ds, False), ("mt", train_ds, True)]
-    # opt-in (never part of the default sweep): the ODKD baseline arm
-    if args.arms and "odkd" in args.arms.split(","):
-        arms.append(("odkd", train_ds, True))
+    # opt-in (never part of the default sweep): the ODKD baseline arm and
+    # the PSM-only / MGD-only decomposition arms
+    if args.arms:
+        for extra in ("odkd", "psm", "mgd"):
+            if extra in args.arms.split(","):
+                arms.append((extra, train_ds, True))
     if args.oracle_slides > 0:
         oracle_ds = synthetic_slide_dataset(
             seed=args.seed, num_slides=args.oracle_slides, slide_size=2 * size, win_size=size, overlap=0.5
@@ -221,7 +232,7 @@ def main():
     t_all = time.time()
     for arm, arm_ds, with_mt in arms:
         out_dir = f"/tmp/mt_lift_{arm}" + (f"_s{args.seed}" if args.seed else "")
-        cfg = make_cfg(with_mt, out_dir, odkd=(arm == "odkd"))
+        cfg = make_cfg(with_mt, out_dir, odkd=(arm == "odkd"), arm=arm)
         src = make_source_loader(arm_ds, args.batch, size, max_gt=64, min_size=size, seed=args.seed)
         unl = (
             make_unlabeled_loader(unlabeled_ds, args.batch, size, min_size=size, seed=1 + args.seed)

@@ -163,3 +163,44 @@ def test_pltrain_targets_branch():
     assert set(losses) == {"mt_classifier", "mt_fg_loss"}
     for v in losses.values():
         assert np.isfinite(float(v))
+
+
+@pytest.mark.slow
+def test_component_arm_gating():
+    """PSM-only (FG_HINT=0) and MGD-only (CLS_LOSS=0) produce exactly
+    their own consistency loss — the decomposition arms of
+    scripts/mt_lift_experiment.py (paper Table-2 axis; PSM
+    box_head/loss.py:185-237, MGD generalized_rcnn.py:243-282)."""
+    from mmt_psm_tpu.data.synthetic import generate_batch, normalize_image
+    from mmt_psm_tpu.structures.detections import GroundTruth
+
+    model = MaskRCNN(config=dataclasses.replace(TINY, with_hint_adaptor=True))
+    images, sizes, gt = _batch()
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        images, sizes, gt, method=model.init_all,
+    )["params"]
+
+    b = generate_batch(7, 2, image_size=128, max_instances=16)
+    imgs = jnp.asarray(normalize_image(b["image"]))
+    batch = {
+        "t_images": jnp.stack([imgs, imgs], axis=1),
+        "s_images": imgs[:, None],
+        "image_size": jnp.asarray(b["image_size"]),
+    }
+    targets = GroundTruth(
+        boxes=jnp.asarray(b["boxes"]),
+        labels=jnp.asarray(b["labels"]),
+        valid=jnp.asarray(b["gt_valid"]),
+        masks=jnp.asarray(b["masks"]),
+    )
+    for mt, expect in [
+        (MTConfig(pltrain=True, aug_k=2, aug_s=1, fg_hint=0.0), {"mt_classifier"}),
+        (MTConfig(pltrain=True, aug_k=2, aug_s=1, cls_loss_weight=0.0), {"mt_fg_loss"}),
+    ]:
+        losses = jax.jit(
+            lambda p, bt, mt=mt: unlabeled_losses(model, p, p, bt, jax.random.PRNGKey(5), mt, targets=targets)
+        )(params, batch)
+        assert set(losses) == expect, (set(losses), expect)
+        for v in losses.values():
+            assert np.isfinite(float(v))
