@@ -24,8 +24,13 @@ level mapper guarantees span <= 28*sqrt(aspect) cells on the assigned
 level — aspect <= ~2.7 at window=48); oversized RoIs clamp their
 outermost samples to the window edge.
 
-Gradients: custom VJP — backward runs through the exact dense
-formulation (only taken in training; inference is the hot path).
+Gradients: custom VJP — the backward is a second Pallas kernel running
+the SAME window schedule in transpose: per RoI two MXU contractions
+(``Ay^T @ g @ Ax`` into a window-local f32 accumulator), per distinct
+window one read-modify-write DMA round trip into the HBM-resident
+gradient maps (the TPU analog of ROIAlign_cuda.cu:123-200's atomic
+scatter; sequential grid steps make RMW race-free). The dense
+linear_transpose is kept as BACKWARD_IMPL="dense" (oracle/fallback).
 """
 
 from __future__ import annotations
@@ -201,48 +206,30 @@ def _axis_weights_batch(start, size, pooled: int, grid: int, dim, origin, window
     return jnp.sum(a, axis=2)  # [M, P, window]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("scales", "output_size", "sampling_ratio", "window", "interpret"),
-)
-def _pallas_pool(
-    features,
-    boxes,
-    scales: tuple,
-    output_size: int,
-    sampling_ratio: int,
-    window: int,
-    interpret: bool,
-):
-    """features: tuple of [B, H_l, W_l, C]; boxes: [B, N, 4] image
-    coords. Returns [B, N, P, P, C]."""
-    assert sampling_ratio > 0, "adaptive sampling_ratio not supported (pap configs use 2)"
-    num_levels = len(features)
-    bsz, n = boxes.shape[:2]
-    c = features[0].shape[-1]
-    dtype = features[0].dtype
-    m = bsz * n
+def _window_plan(shapes, boxes, scales: tuple, output_size: int, sampling_ratio: int, window: int):
+    """Shared forward/backward schedule: window assignment, sort by
+    window identity, interpolation matrices.
 
-    # Window starts are aligned down to multiples of 8 (the x start
-    # because HBM sublane tiling requires it, both so that overlapping
-    # RoIs land on IDENTICAL windows) and the windows widened by 8 to
-    # cover the alignment slack. RoIs are then sorted by window
-    # identity and consecutive duplicates reuse the VMEM-resident
-    # window without a new DMA — on clustered detections (the pap
-    # regime: ~15 proposals per cell) this removes most of the HBM
-    # traffic, which dominates the kernel.
+    Window starts are aligned down to multiples of 8 (the x start
+    because HBM sublane tiling requires it, both so that overlapping
+    RoIs land on IDENTICAL windows) and the windows widened by 8 to
+    cover the alignment slack. RoIs are then sorted by window
+    identity and consecutive duplicates reuse the VMEM-resident
+    window without a new DMA — on clustered detections (the pap
+    regime: ~15 proposals per cell) this removes most of the HBM
+    traffic, which dominates the kernel.
+
+    shapes: per-level static [B, H_l, W_l, C] shapes; boxes: [B, N, 4].
+    Returns (meta [6, M] i32, ay/ax [M, P, W] f32, order [M], pad_hw).
+    """
+    num_levels = len(shapes)
+    bsz, n = boxes.shape[:2]
+    m = bsz * n
     window_y = window + 8
     window_x = window + 8
-
-    # pad small top levels so a full window always fits; weights never
-    # reference rows/cols beyond the true extent, so pad values are dead
-    feats = []
-    for f in features:
-        ph = max(window_y - f.shape[1], 0)
-        pw = max(window_x - f.shape[2], 0)
-        if ph or pw:
-            f = jnp.pad(f, ((0, 0), (0, ph), (0, pw), (0, 0)))
-        feats.append(f)
+    # small top levels are padded so a full window always fits; weights
+    # never reference rows/cols beyond the true extent, so pads are dead
+    pad_hw = [(max(window_y, s[1]), max(window_x, s[2])) for s in shapes]
 
     flat_boxes = boxes.reshape(m, 4)
     k_min = int(-math.log2(scales[0]))
@@ -253,10 +240,10 @@ def _pallas_pool(
         levels = jnp.zeros(m, jnp.int32)
 
     scales_arr = jnp.asarray(scales, jnp.float32)
-    heights = jnp.asarray([f.shape[1] for f in features], jnp.int32)
-    widths = jnp.asarray([f.shape[2] for f in features], jnp.int32)
-    pad_h = jnp.asarray([f.shape[1] for f in feats], jnp.int32)
-    pad_w = jnp.asarray([f.shape[2] for f in feats], jnp.int32)
+    heights = jnp.asarray([s[1] for s in shapes], jnp.int32)
+    widths = jnp.asarray([s[2] for s in shapes], jnp.int32)
+    pad_h = jnp.asarray([p[0] for p in pad_hw], jnp.int32)
+    pad_w = jnp.asarray([p[1] for p in pad_hw], jnp.int32)
 
     scale = scales_arr[levels]
     h = heights[levels]
@@ -294,10 +281,45 @@ def _pallas_pool(
     oxf = ox.astype(jnp.float32)[order]
     ay = _axis_weights_batch(
         sy[order], rh[order], output_size, sampling_ratio, hf, oyf, window_y
-    ).astype(dtype)
+    )
     ax = _axis_weights_batch(
         sx[order], rw[order], output_size, sampling_ratio, wf, oxf, window_x
-    ).astype(dtype)
+    )
+    return meta, ay, ax, order, pad_hw, window_y, window_x
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scales", "output_size", "sampling_ratio", "window", "interpret"),
+)
+def _pallas_pool(
+    features,
+    boxes,
+    scales: tuple,
+    output_size: int,
+    sampling_ratio: int,
+    window: int,
+    interpret: bool,
+):
+    """features: tuple of [B, H_l, W_l, C]; boxes: [B, N, 4] image
+    coords. Returns [B, N, P, P, C]."""
+    assert sampling_ratio > 0, "adaptive sampling_ratio not supported (pap configs use 2)"
+    num_levels = len(features)
+    bsz, n = boxes.shape[:2]
+    c = features[0].shape[-1]
+    dtype = features[0].dtype
+    m = bsz * n
+
+    meta, ay, ax, order, pad_hw, window_y, window_x = _window_plan(
+        tuple(f.shape for f in features), boxes, scales, output_size, sampling_ratio, window
+    )
+    ay = ay.astype(dtype)
+    ax = ax.astype(dtype)
+    feats = []
+    for f, (ph, pw) in zip(features, pad_hw):
+        if ph > f.shape[1] or pw > f.shape[2]:
+            f = jnp.pad(f, ((0, 0), (0, ph - f.shape[1]), (0, pw - f.shape[2]), (0, 0)))
+        feats.append(f)
 
     kernel = _make_kernel(num_levels, output_size, window_y, window_x, c, dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -307,7 +329,7 @@ def _pallas_pool(
             pl.BlockSpec((1, output_size, window_y), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, output_size, window_x), lambda i, *_: (i, 0, 0)),
         ]
-        + [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(num_levels)],
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(num_levels)],
         out_specs=pl.BlockSpec(
             (1, output_size * output_size, c), lambda i, *_: (i, 0, 0)
         ),
@@ -330,6 +352,188 @@ def _pallas_pool(
     )(meta, ay, ax, *feats)
     inv = jnp.argsort(order)  # undo the window sort
     return out[inv].reshape(bsz, n, output_size, output_size, c)
+
+
+def _make_bwd_kernel(
+    num_levels: int, pooled: int, window_y: int, window_x: int, c: int, dtype,
+    interpret: bool = False,
+):
+    """Windowed scatter-add backward: the exact transpose of the forward
+    kernel (TPU analog of the reference's atomic scatter backward,
+    csrc/cuda/ROIAlign_cuda.cu:123-200). Grid steps run sequentially on
+    the TPU core, so read-modify-write flushes of (potentially
+    overlapping) windows into the HBM-resident gradient maps are
+    race-free as long as each write is awaited before the next group's
+    read starts — which the flush structure below guarantees."""
+    f32 = jnp.float32
+
+    def kernel(meta_ref, ay_ref, ax_ref, g_ref, *rest):
+        # rest = [aliased zero-input refs x L, output refs x L, scratch];
+        # the inputs are donated as the outputs, so only the output refs
+        # are touched
+        out_refs = rest[num_levels : 2 * num_levels]
+        acc = rest[2 * num_levels]  # [Wy, Wx, C] f32 accumulator
+        rbuf = rest[2 * num_levels + 1]  # [Wy, Wx, C] dtype, read-back
+        wbuf = rest[2 * num_levels + 2]  # [Wy, Wx, C] dtype, write-out
+        rsem = rest[2 * num_levels + 3]
+        wsem = rest[2 * num_levels + 4]
+
+        i = pl.program_id(0)
+        m = pl.num_programs(0)
+
+        def dma(j, buf, sem, to_hbm: bool):
+            lvl = meta_ref[0, j]
+            b = meta_ref[1, j]
+            oy = meta_ref[2, j]
+            ox = meta_ref[3, j]
+            out = []
+            for k in range(num_levels):
+                def mk(orf=out_refs[k], b=b, oy=oy, ox=ox):
+                    region = orf.at[
+                        b,
+                        pl.ds(pl.multiple_of(oy, 8), window_y),
+                        pl.ds(pl.multiple_of(ox, 8), window_x),
+                        :,
+                    ]
+                    if to_hbm:
+                        return pltpu.make_async_copy(buf, region, sem)
+                    return pltpu.make_async_copy(region, buf, sem)
+
+                out.append((lvl == k, mk))
+            return out
+
+        # first roi of a window group: start the read of the current
+        # accumulated HBM contents (the previous group's write was
+        # awaited at its flush, so overlapping regions are consistent)
+        @pl.when(meta_ref[4, i] == 1)
+        def _():
+            for cond, mk in dma(i, rbuf, rsem, to_hbm=False):
+                @pl.when(cond)
+                def _(mk=mk):
+                    mk().start()
+
+        # dw[y, x, c] = sum_{qy,qx} ay[qy, y] g[qy, qx, c] ax[qx, x]
+        # (interpret mode upcasts: the XLA CPU thunk can't execute
+        # bf16 x bf16 -> f32 dots; on TPU the MXU does exactly that)
+        cast = (lambda x: x.astype(f32)) if interpret else (lambda x: x)
+        gq = g_ref[0].reshape(pooled, pooled, c)
+        t1 = jax.lax.dot_general(
+            cast(ax_ref[0]), cast(gq), (((0,), (1,)), ((), ())), preferred_element_type=f32
+        )  # [Wx, P(qy), C]
+        dw = jax.lax.dot_general(
+            cast(ay_ref[0]), t1, (((0,), (1,)), ((), ())), preferred_element_type=f32
+        )  # [Wy, Wx, C]
+
+        @pl.when(meta_ref[4, i] == 1)
+        def _():
+            acc[...] = dw
+
+        @pl.when(meta_ref[4, i] == 0)
+        def _():
+            acc[...] = acc[...] + dw
+
+        # flush at the last roi of the group: read-back + add + write,
+        # fully awaited so the next group's read observes this write
+        nxt = jnp.minimum(i + 1, m - 1)
+        flush = (i == m - 1) | (meta_ref[4, nxt] == 1)
+
+        @pl.when(flush)
+        def _():
+            for cond, mk in dma(i, rbuf, rsem, to_hbm=False):
+                @pl.when(cond)
+                def _(mk=mk):
+                    mk().wait()
+            wbuf[...] = (acc[...] + rbuf[...].astype(f32)).astype(dtype)
+            for cond, mk in dma(i, wbuf, wsem, to_hbm=True):
+                @pl.when(cond)
+                def _(mk=mk):
+                    mk().start()
+            for cond, mk in dma(i, wbuf, wsem, to_hbm=True):
+                @pl.when(cond)
+                def _(mk=mk):
+                    mk().wait()
+
+    return kernel
+
+
+def _pallas_pool_bwd(
+    shapes,
+    dtypes,
+    boxes,
+    g,
+    scales: tuple,
+    output_size: int,
+    sampling_ratio: int,
+    window: int,
+    interpret: bool,
+):
+    """Transpose of _pallas_pool: scatter the pooled cotangent g
+    [B, N, P, P, C] back into per-level feature gradients.
+
+    shapes/dtypes: static per-level [B, H_l, W_l, C] shapes and dtypes.
+    Runs the same window schedule as the forward; per distinct window
+    one read-modify-write round trip (instead of the dense transpose's
+    O(sum_l H_l W_l C) contraction per RoI)."""
+    num_levels = len(shapes)
+    bsz, n = boxes.shape[:2]
+    c = shapes[0][-1]
+    dtype = dtypes[0]
+    m = bsz * n
+
+    meta, ay, ax, order, pad_hw, window_y, window_x = _window_plan(
+        shapes, boxes, scales, output_size, sampling_ratio, window
+    )
+    ay = ay.astype(dtype)
+    ax = ax.astype(dtype)
+    g_sorted = g.reshape(m, output_size * output_size, c)[order].astype(dtype)
+
+    zeros = [
+        jnp.zeros((s[0], ph, pw, c), dt)
+        for s, dt, (ph, pw) in zip(shapes, dtypes, pad_hw)
+    ]
+    kernel = _make_bwd_kernel(
+        num_levels, output_size, window_y, window_x, c, dtype, interpret
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m,),
+        in_specs=[
+            pl.BlockSpec((1, output_size, window_y), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, output_size, window_x), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, output_size * output_size, c), lambda i, *_: (i, 0, 0)),
+        ]
+        + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(num_levels)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY) for _ in range(num_levels)],
+        scratch_shapes=[
+            pltpu.VMEM((window_y, window_x, c), jnp.float32),
+            pltpu.VMEM((window_y, window_x, c), dtype),
+            pltpu.VMEM((window_y, window_x, c), dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    bytes_per_roi = window_y * window_x * c * jnp.dtype(dtype).itemsize
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((s[0], ph, pw, c), dt)
+            for s, dt, (ph, pw) in zip(shapes, dtypes, pad_hw)
+        ],
+        # inputs: meta(0), ay(1), ax(2), g(3), zeros_l0(4).. — the zero
+        # level buffers are donated as the outputs (in-place RMW)
+        input_output_aliases={4 + k: k for k in range(num_levels)},
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * (output_size * window_x * c + output_size**2 * window_y * c),
+            bytes_accessed=2 * m * bytes_per_roi,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(meta, ay, ax, g_sorted, *zeros)
+    return tuple(
+        o[:, : s[1], : s[2], :] if (o.shape[1] != s[1] or o.shape[2] != s[2]) else o
+        for o, s in zip(outs, shapes)
+    )
 
 
 def _dense_pool(features, boxes, scales, output_size, sampling_ratio):
@@ -375,7 +579,14 @@ def _fwd(features, boxes, scales, output_size, sampling_ratio, window, interpret
     return out, (tuple(features), boxes)
 
 
-def _bwd(scales, output_size, sampling_ratio, window, interpret, res, g):
+# Backward implementation selector: "windowed" = the Pallas RMW
+# scatter-add kernel (exact transpose of the forward); "dense" = the
+# linear_transpose of the full-map formulation (slower — O(sum_l
+# H_l W_l C) per RoI — kept as the parity oracle and fallback).
+BACKWARD_IMPL = "windowed"
+
+
+def _bwd_dense(scales, output_size, sampling_ratio, res, g):
     features, boxes = res
     # ROIAlign is linear in the features (the interpolation matrices
     # depend only on the boxes), so the cotangent is the pure transpose
@@ -385,7 +596,27 @@ def _bwd(scales, output_size, sampling_ratio, window, interpret, res, g):
     transpose = jax.linear_transpose(
         lambda f: _dense_pool(f, boxes, scales, output_size, sampling_ratio), features
     )
-    return transpose(g)[0], None
+    return transpose(g)[0]
+
+
+def _bwd(scales, output_size, sampling_ratio, window, interpret, res, g):
+    if BACKWARD_IMPL == "dense":
+        return _bwd_dense(scales, output_size, sampling_ratio, res, g), None
+    features, boxes = res
+    # only shapes/dtypes of the residual features are read — their
+    # values are dead here and XLA DCEs the dependency
+    grads = _pallas_pool_bwd(
+        tuple(f.shape for f in features),
+        tuple(f.dtype for f in features),
+        boxes,
+        g,
+        scales,
+        output_size,
+        sampling_ratio,
+        window,
+        interpret,
+    )
+    return grads, None
 
 
 multilevel_roi_align_pallas.defvjp(_fwd, _bwd)

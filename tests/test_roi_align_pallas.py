@@ -80,3 +80,83 @@ def test_gradients_flow_via_dense_vjp(feats):
     g_d = jax.grad(loss_d)(feats)
     for a, b in zip(g_p, g_d):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_windowed_backward_random_cotangent(feats):
+    """The Pallas RMW backward vs the dense linear_transpose under a
+    random (non-symmetric) cotangent, P=7 and P=14, including clustered
+    boxes that share identical 8-aligned windows and edge boxes."""
+    rng = np.random.default_rng(4)
+    cluster = _boxes(rng, 10)
+    cluster[5:] = cluster[:5] + rng.uniform(-3, 3, (5, 4)).astype(np.float32)
+    edge = np.array(
+        [[-20.0, -20.0, 30.0, 25.0], [IMG - 30.0, IMG - 25.0, IMG + 40.0, IMG + 40.0]],
+        np.float32,
+    )
+    boxes = jnp.asarray(
+        np.stack([np.concatenate([cluster, edge]), _boxes(rng, 12)])
+    )
+    for pooled in (7, 14):
+        out_p, vjp_p = jax.vjp(
+            lambda f: multilevel_roi_align_pallas(f, boxes, SCALES, pooled, 2, 48, True), feats
+        )
+        out_d, vjp_d = jax.vjp(lambda f: _dense_pool(f, boxes, SCALES, pooled, 2), feats)
+        g = jnp.asarray(rng.normal(size=out_p.shape).astype(np.float32))
+        g_p = vjp_p(g)[0]
+        g_d = vjp_d(g)[0]
+        for a, b in zip(g_p, g_d):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_backward_impl_dense_flag(feats):
+    """BACKWARD_IMPL='dense' routes the VJP through the linear_transpose
+    oracle; both implementations agree."""
+    import mmt_psm_tpu.ops.roi_align_pallas as rap
+
+    rng = np.random.default_rng(5)
+    boxes = jnp.asarray(np.stack([_boxes(rng, 5), _boxes(rng, 5)]))
+
+    def loss(f):
+        return jnp.sum(multilevel_roi_align_pallas(f, boxes, SCALES, 7, 2, 48, True) ** 2)
+
+    g_win = jax.grad(loss)(feats)
+    old = rap.BACKWARD_IMPL
+    try:
+        rap.BACKWARD_IMPL = "dense"
+        jax.clear_caches()  # the impl flag is read at trace time
+        g_dense = jax.grad(loss)(feats)
+    finally:
+        rap.BACKWARD_IMPL = old
+        jax.clear_caches()
+    for a, b in zip(g_win, g_dense):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_windowed_backward_bf16():
+    """bf16 features (the production compute dtype): cotangents come back
+    bf16 and agree with the f32 dense transpose to bf16 resolution."""
+    rng = np.random.default_rng(6)
+    feats16 = tuple(
+        jnp.asarray(rng.normal(size=(1, h, w, 64)).astype(np.float32), jnp.bfloat16)
+        for h, w in SHAPES
+    )
+    boxes = jnp.asarray(_boxes(rng, 16)[None])
+
+    def loss16(f):
+        return jnp.sum(
+            multilevel_roi_align_pallas(f, boxes, SCALES, 7, 2, 48, True).astype(jnp.float32) ** 2
+        )
+
+    g16 = jax.grad(loss16)(feats16)
+    feats32 = tuple(f.astype(jnp.float32) for f in feats16)
+
+    def loss32(f):
+        return jnp.sum(_dense_pool(f, boxes, SCALES, 7, 2) ** 2)
+
+    g32 = jax.grad(loss32)(feats32)
+    for a, b in zip(g16, g32):
+        assert a.dtype == jnp.bfloat16
+        a = np.asarray(a.astype(jnp.float32))
+        b = np.asarray(b)
+        denom = np.abs(b).max() + 1e-6
+        assert np.abs(a - b).max() / denom < 0.03, np.abs(a - b).max() / denom
