@@ -191,6 +191,13 @@ def load_reference():
 
     torch.Tensor.to = _to
 
+    # the relation-NMS TRAIN path casts via the legacy cuda tensor types
+    # (relation_module.py:209-222, losses.py:66); on CPU the same cast
+    # is the plain float type
+    torch.cuda.FloatTensor = torch.FloatTensor
+    torch.cuda.LongTensor = torch.LongTensor
+    torch.cuda.ByteTensor = torch.ByteTensor
+
     # ---- CPU NMS: patch boxlist_ops BEFORE dependent modules import it
     from oracles import nms_oracle
 
