@@ -24,7 +24,12 @@ import numpy as np
 BASELINE_PER_CHIP = 25.0  # patches/sec/chip (200 on v5e-8)
 
 
-def main():
+def measure(iters: int = 20, warmup: int = 2, batch_size: int = 16):
+    """Dispatch-queue throughput measurement; returns patches/sec.
+
+    Shared by the driver bench (main) and scripts/bench_sensitivity.py's
+    methodology sweep (value vs iters/warmup).
+    """
     # NOTE: deliberately NOT enabling the persistent compilation cache
     # here: cache serialization of the flagship executable on this
     # 1-core bench host was measured stealing enough host CPU from the
@@ -34,11 +39,6 @@ def main():
     from mmt_psm_tpu.data.synthetic import generate_batch, normalize_image
     from mmt_psm_tpu.models import MaskRCNN, ModelConfig
 
-    # throughput-optimal serving batch on v5e (scripts/bench_batch_sweep.py:
-    # b8 76.2, b16 90.2, b24 90.0, b32 91.2 p/s — saturates at 16, which
-    # amortizes the per-dispatch tunnel overhead without hurting latency
-    # beyond one batch period)
-    batch_size = 16
     ycfg = get_cfg()
     ycfg.merge_from_file("configs/pap/mmt_psm_r50_fpn.yaml")
     cfg = ModelConfig.from_cfg(ycfg, train=False)
@@ -65,16 +65,23 @@ def main():
     # each transfer costs a ~35ms tunnel round trip. Throughput is
     # measured the way a serving pipeline runs: dispatch all batches,
     # then one dependent read drains the serial device queue (single RTT).
-    for _ in range(2):  # compile + steady-state warmup
+    for _ in range(warmup):  # compile + steady-state warmup
         float(infer(params, images, sizes)[1])
 
-    iters = 20
     t0 = time.perf_counter()
     chks = [infer(params, images, sizes)[1] for _ in range(iters)]
     float(jnp.stack(chks).sum())
     dt = time.perf_counter() - t0
 
-    patches_per_sec = batch_size * iters / dt
+    return batch_size * iters / dt
+
+
+def main():
+    # throughput-optimal serving batch on v5e (scripts/bench_batch_sweep.py:
+    # b8 76.2, b16 90.2, b24 90.0, b32 91.2 p/s — saturates at 16, which
+    # amortizes the per-dispatch tunnel overhead without hurting latency
+    # beyond one batch period)
+    patches_per_sec = measure(iters=20, warmup=2, batch_size=16)
     print(
         json.dumps(
             {

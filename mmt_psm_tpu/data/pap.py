@@ -247,14 +247,18 @@ class PapUnlabeledDataset:
         return np.asarray(Image.open(p).convert("RGB"))
 
 
-def synthetic_slide_dataset(seed: int = 0, num_slides: int = 2, slide_size: int = 512, win_size: int = 256, overlap: float = 0.5, is_train: bool = True, train_ratio: float = 1.0):
-    """Self-contained PapDataset over synthetic overlapping-cell slides."""
+def synthetic_slide_dataset(seed: int = 0, num_slides: int = 2, slide_size: int = 512, win_size: int = 256, overlap: float = 0.5, is_train: bool = True, train_ratio: float = 1.0, num_cells: tuple = (8, 16), radius_range: tuple = (0.08, 0.18)):
+    """Self-contained PapDataset over synthetic overlapping-cell slides.
+
+    ``num_cells``/``radius_range`` forward to the window generator —
+    larger slides should shrink ``radius_range`` (it is a fraction of
+    the SLIDE) to keep per-window cell sizes realistic."""
     from .synthetic import generate_sample
 
     rng = np.random.default_rng(seed)
     slides, anns = [], []
     for _ in range(num_slides):
-        s = generate_sample(rng, image_size=slide_size, max_instances=128, num_cells=(8, 16))
+        s = generate_sample(rng, image_size=slide_size, max_instances=128, num_cells=num_cells, radius_range=radius_range)
         n = int(s.valid.sum())
         slides.append(s.image.astype(np.uint8))
         anns.append(

@@ -42,7 +42,13 @@ def generate_sample(
     mask_size: int | None = None,
     max_instances: int = 64,
     num_cells: tuple = (3, 8),
+    radius_range: tuple = (0.08, 0.18),
 ) -> SyntheticSample:
+    """``radius_range`` scales cell radii as a fraction of the canvas;
+    the default keeps the historical distribution (cells 16-36% of the
+    image). Larger values produce the jumbo instances that exercise FPN
+    level-mapper levels >= 4 (reference poolers.py:11-42: level 4 needs
+    sqrt(area) >= 448 px)."""
     mask_size = mask_size or image_size
     h = w = image_size
     img = rng.normal(200, 10, (h, w, 3)).astype(np.float32)  # bright background
@@ -53,8 +59,8 @@ def generate_sample(
         if len(boxes) + 2 > max_instances:
             break
         cy, cx = rng.uniform(0.15 * h, 0.85 * h), rng.uniform(0.15 * w, 0.85 * w)
-        ry = rng.uniform(0.08, 0.18) * h
-        rx = rng.uniform(0.08, 0.18) * w
+        ry = rng.uniform(*radius_range) * h
+        rx = rng.uniform(*radius_range) * w
         ang = rng.uniform(0, np.pi)
         cyto = _ellipse_mask(h, w, cy, cx, ry, rx, ang)
         if cyto.sum() < 16:

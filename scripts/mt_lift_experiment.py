@@ -125,6 +125,12 @@ def main():
     # their fixed seed so replicas share the held-out split)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=str, default="/tmp/mt_lift.json")
+    # pretrained-transfer regime: initialize every arm from a saved
+    # checkpoint instead of random init — the reference always fine-tunes
+    # from COCO weights (reference tools/train_mean_teacher.py:41-43);
+    # pass e.g. an oracle arm's final student trained on DIFFERENT slide
+    # seeds as the stand-in for e2e_mask_rcnn_R_50_FPN_1x.pth
+    ap.add_argument("--init-from", type=str, default="")
     # periodic checkpointing + auto-resume so a cut-off run restarts from
     # its last save, not from scratch (resume replays the loader from its
     # start, so a resumed run sees a shifted batch order vs a straight one)
@@ -211,6 +217,16 @@ def main():
     loader0 = make_source_loader(train_ds, args.batch, size, max_gt=64, min_size=size, seed=args.seed)
     batch0 = {k: jnp.asarray(v) for k, v in next(loader0).items()}
     params = init_params(model, batch0, seed=args.seed)
+    if args.init_from:
+        from mmt_psm_tpu.utils.checkpoint import Checkpointer
+
+        d, n = os.path.split(args.init_from)
+        loaded = Checkpointer(d, n).load(n)
+        # tree/shape must agree with a fresh init; keep fresh dtypes
+        params = jax.tree_util.tree_map(
+            lambda a, b: jnp.asarray(b, a.dtype), params, loaded
+        )
+        print(f"initialized all arms from {args.init_from}", flush=True)
 
     arms = [("sup", train_ds, False), ("mt", train_ds, True)]
     # opt-in (never part of the default sweep): the ODKD baseline arm and

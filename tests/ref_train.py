@@ -106,7 +106,7 @@ def make_targets(ref, sample, device="cpu"):
     return target
 
 
-def synth_torch_batch(ref, rng, batch_size, size, num_cells=(3, 8)):
+def synth_torch_batch(ref, rng, batch_size, size, num_cells=(3, 8), radius_range=(0.08, 0.18)):
     """Normalized CHW image tensors + targets from the shared generator
     (BGR255 - mean, the reference transform — defaults.py:48-52)."""
     import torch
@@ -115,18 +115,32 @@ def synth_torch_batch(ref, rng, batch_size, size, num_cells=(3, 8)):
 
     images, targets = [], []
     for _ in range(batch_size):
-        s = generate_sample(rng, image_size=size, max_instances=64, num_cells=num_cells)
+        s = generate_sample(
+            rng, image_size=size, max_instances=64, num_cells=num_cells,
+            radius_range=radius_range,
+        )
         img = normalize_image(s.image)  # [H, W, 3] BGR
         images.append(torch.as_tensor(np.transpose(img, (2, 0, 1))))
         targets.append(make_targets(ref, s))
     return images, targets
 
 
-# ~35 s/iter on a 1-core host: 100 iters (200 samples) is the VERDICT's
-# "enough to peak the score distribution" point — measured score spread
-# after this recipe: max>0.9, spread across [0.05, 1) (the regime the
-# score-threshold/NMS/cap paths ship in)
-TRAIN_RECIPE = dict(iters=100, batch=2, lr=2e-3, clip=5.0, seed=7, sizes=(256, 512))
+# ~40 s/iter averaged on a 1-core host. The (768, jumbo-radius) arm is
+# what teaches the model the >=448px sqrt(area) instances that the
+# trained-parity canvases use to reach FPN level-mapper levels 4-5
+# (poolers.py:11-42) — the first recipe trained only at (256, 512) with
+# default radii and produced ZERO detections above sqrt(area) 100 on
+# the 1024 canvas (scale-OOD), with scores capped at ~0.53.
+TRAIN_RECIPE = dict(
+    iters=135,
+    batch=2,
+    lr=2e-3,
+    clip=5.0,
+    seed=7,
+    sizes=(256, 512, 768),
+    cells=((3, 8), (3, 8), (2, 5)),
+    radii=((0.08, 0.18), (0.08, 0.18), (0.10, 0.35)),
+)
 
 
 def trained_reference_sd(ref, cfg, cache_dir="/tmp", recipe=TRAIN_RECIPE, log=print):
@@ -149,9 +163,14 @@ def trained_reference_sd(ref, cfg, cache_dir="/tmp", recipe=TRAIN_RECIPE, log=pr
     opt = torch.optim.SGD(model.parameters(), lr=recipe["lr"], momentum=0.9, weight_decay=5e-4)
     rng = np.random.default_rng(recipe["seed"])
     sizes = recipe["sizes"]
+    cells = recipe.get("cells", tuple((3, 8) for _ in sizes))
+    radii = recipe.get("radii", tuple((0.08, 0.18) for _ in sizes))
     for it in range(recipe["iters"]):
-        size = sizes[it % len(sizes)]
-        images, targets = synth_torch_batch(ref, rng, recipe["batch"], size)
+        k = it % len(sizes)
+        size = sizes[k]
+        images, targets = synth_torch_batch(
+            ref, rng, recipe["batch"], size, num_cells=cells[k], radius_range=radii[k]
+        )
         il = ref.to_image_list(images, 32)
         losses = model(il, targets)
         total = sum(losses.values())
