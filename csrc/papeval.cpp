@@ -13,6 +13,7 @@
 //   rle_encode / rle_decode   -> column-major (Fortran) RLE, pycocotools
 //                                semantics (counts start with zeros run).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -180,6 +181,62 @@ double aji_match(const double* ious, const double* inter, const double* uni,
   for (int64_t di = 0; di < d; ++di)
     if (!dt_matched[di]) u_sum += dt_areas[di];
   return u_sum > 0.0 ? i_sum / u_sum : 0.0;
+}
+
+// Reference-exact Masker paste resize (engine/paste.py _bilinear_resize
+// over the zero-padded prob map; reference mask_head/inference.py:169-206):
+// bilinear, align_corners=False half-pixel grid over the (m+2*pad)^2
+// zero-padded map, evaluated only on the clipped output window
+// [oy0, oy1) x [ox0, ox1) of the conceptual bh x bw resize, thresholded
+// STRICTLY at thr. Arithmetic is bit-identical to the numpy path: f64
+// sampling grid, f32 interpolation with the same association; the
+// ctypes builder compiles with -ffp-contract=off so no FMA contraction
+// perturbs low bits. probs: [m, m] f32 row-major. out: [oy1-oy0, ox1-ox0]
+// u8. The numpy path costs ~4.6 ms per 300px detection (measured: 200
+// detections -> 924 ms/image, the serial-host eval bottleneck); this
+// kernel is ~20-40x cheaper.
+void paste_resize_threshold(const float* probs, int64_t m, int64_t pad,
+                            int64_t bh, int64_t bw,
+                            int64_t oy0, int64_t oy1, int64_t ox0, int64_t ox1,
+                            float thr, uint8_t* out) {
+  const int64_t in = m + 2 * pad;
+  const double hi = (double)(in - 1);
+  const int64_t ow = ox1 - ox0;
+  std::vector<int64_t> x0v(ow), x1v(ow);
+  std::vector<float> fxv(ow);
+  for (int64_t j = 0; j < ow; ++j) {
+    double xs = ((double)(ox0 + j) + 0.5) * (double)in / (double)bw - 0.5;
+    if (xs < 0.0) xs = 0.0;
+    if (xs > hi) xs = hi;
+    double x0 = std::floor(xs);
+    x0v[j] = (int64_t)x0;
+    fxv[j] = (float)(xs - x0);
+    x1v[j] = x0v[j] + 1 < in - 1 ? x0v[j] + 1 : in - 1;
+  }
+  // zero-padded fetch: border rows/cols of the padded map are exact 0s
+  auto at = [&](int64_t y, int64_t x) -> float {
+    if (y < pad || y >= in - pad || x < pad || x >= in - pad) return 0.0f;
+    return probs[(y - pad) * m + (x - pad)];
+  };
+  for (int64_t r = 0; r < oy1 - oy0; ++r) {
+    double ys = ((double)(oy0 + r) + 0.5) * (double)in / (double)bh - 0.5;
+    if (ys < 0.0) ys = 0.0;
+    if (ys > hi) ys = hi;
+    double y0d = std::floor(ys);
+    const int64_t y0 = (int64_t)y0d;
+    const float fy = (float)(ys - y0d);
+    const int64_t y1 = y0 + 1 < in - 1 ? y0 + 1 : in - 1;
+    const float gy = 1.0f - fy;
+    uint8_t* row = out + r * ow;
+    for (int64_t j = 0; j < ow; ++j) {
+      const float fx = fxv[j];
+      const float gx = 1.0f - fx;
+      const float top = at(y0, x0v[j]) * gx + at(y0, x1v[j]) * fx;
+      const float bot = at(y1, x0v[j]) * gx + at(y1, x1v[j]) * fx;
+      const float v = top * gy + bot * fy;
+      row[j] = v > thr ? 1 : 0;
+    }
+  }
 }
 
 }  // extern "C"

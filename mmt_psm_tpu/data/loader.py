@@ -31,7 +31,10 @@ def pad_to_canvas(sample: dict, canvas: int, max_gt: int, mask_size: int | None 
     img = sample["image"]
     h, w = img.shape[:2]
     assert h <= canvas and w <= canvas, (h, w, canvas)
-    out_img = np.zeros((canvas, canvas, 3), np.float32)
+    # raw-u8 pipelines (device-side normalization) keep the canvas u8 —
+    # 4x less host->device traffic; normalized pipelines stay f32
+    dtype = np.uint8 if img.dtype == np.uint8 else np.float32
+    out_img = np.zeros((canvas, canvas, 3), dtype)
     out_img[:h, :w] = img
 
     mask_size = mask_size or canvas
@@ -215,9 +218,16 @@ def make_test_loader(
     mask_size: int | None = None,
     min_size: int = 800,
     max_size: int = 1333,
+    raw_u8: bool = False,
 ):
     """Single-pass eval iterator (pads the final partial batch by
-    repeating the last sample; consumers filter via n_real)."""
+    repeating the last sample; consumers filter via n_real).
+
+    raw_u8=True ships resized RGB uint8 canvases and leaves the
+    BGR-flip + mean-subtract to the device (engine/inference.py's jitted
+    infer) — a quarter of the f32 host->device bytes. Only valid with
+    the default PIXEL_STD=1 normalization (asserted at the device side
+    implicitly: the jit subtracts the mean only)."""
 
     def gen():
         n = len(dataset)
@@ -229,7 +239,10 @@ def make_test_loader(
             samples = []
             for idx in idxs:
                 s = dataset[int(idx)]
-                s = T.test_transform(s, min_size, max_size)
+                if raw_u8:
+                    s = T.resize_sample(s, min_size, max_size)
+                else:
+                    s = T.test_transform(s, min_size, max_size)
                 # eval masks stay ragged/unpadded — only the host reads them
                 samples.append(pad_to_canvas(s, canvas, max_gt, mask_size, pad_masks=False))
             batch = _stack(samples)

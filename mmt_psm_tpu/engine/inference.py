@@ -70,6 +70,15 @@ def _cached_infer(model):
 
     @jax.jit
     def infer(p, images, sizes):
+        if images.dtype == jnp.uint8:
+            # raw RGB u8 straight off the loader (make_test_loader
+            # raw_u8=True): BGR-flip + mean-subtract ON DEVICE. Ships a
+            # quarter of the f32 bytes host->device — the dominant eval
+            # cost on PCIe/tunnel transports. (The reference normalizes
+            # on host, transforms.py:95-99; PIXEL_STD=1 assumed.)
+            from ..data.transforms import PIXEL_MEAN_BGR
+
+            images = images[..., ::-1].astype(jnp.float32) - jnp.asarray(PIXEL_MEAN_BGR)
         d = model.apply(p, images, sizes, train=False)
         masks = d.masks.astype(jnp.float16) if d.masks is not None else None
         return d.boxes, d.scores, d.labels, d.valid, masks, d.head_ids
@@ -186,6 +195,10 @@ def run_inference(
     # independent of worker count
     result_slots = []
     n_images = 0
+    # stage accounting (seconds) — reported in the timing dict so a slow
+    # eval names its own bottleneck (loader pull / device wait+readback /
+    # gt conversion / paste+score)
+    acc = {"loader": 0.0, "device": 0.0, "gt": 0.0, "score": 0.0}
     t0 = time.perf_counter()
     # single-stage pipeline: batch i+1 executes on device while the host
     # pastes and scores batch i (a per-batch sync would serialize device
@@ -194,9 +207,13 @@ def run_inference(
     batch = next(it, None)
     pending = dispatch(batch) if batch is not None else None
     while batch is not None:
+        t_l = time.perf_counter()
         next_batch = next(it, None)
         next_pending = dispatch(next_batch) if next_batch is not None else None
+        t_d = time.perf_counter()
+        acc["loader"] += t_d - t_l
         boxes, scores, labels, valid, masks, head_ids = jax.device_get(pending)
+        acc["device"] += time.perf_counter() - t_d
         masks16 = None
         if masks is None:
             # box-only model (MASK_ON=False): box-filled 1x1 probs so the
@@ -221,12 +238,15 @@ def run_inference(
                     boxes[i], scores[i], labels[i], v_i, head_ids[i],
                     nms_thresh=nms_thresh, num_classes=num_classes,
                 )
+            t_g = time.perf_counter()
             gt = gt_to_instseg(
                 np.asarray(batch["boxes"][i]),
                 np.asarray(batch["labels"][i]),
                 np.asarray(batch["gt_valid"][i]),
                 np.asarray(batch["masks"][i]),
             )
+            acc["gt"] += time.perf_counter() - t_g
+            t_s = time.perf_counter()
             want_render = (visual_dir and n_images < visual_num) or mat_dir
             if pool is not None and not want_render:
                 from . import _eval_worker
@@ -243,6 +263,7 @@ def run_inference(
                         ),
                     )
                 )
+                acc["score"] += time.perf_counter() - t_s
                 n_images += 1
                 continue
             dt = detections_to_instseg(
@@ -257,8 +278,11 @@ def run_inference(
                 from PIL import Image
 
                 h_i, w_i = int(batch["image_size"][i][0]), int(batch["image_size"][i][1])
-                bgr = np.asarray(batch["image"][i][:h_i, :w_i]) + PIXEL_MEAN_BGR
-                rgb = np.clip(bgr[..., ::-1], 0, 255).astype(np.uint8)
+                im = np.asarray(batch["image"][i][:h_i, :w_i])
+                if im.dtype == np.uint8:  # raw_u8 loader: already RGB
+                    rgb = im
+                else:
+                    rgb = np.clip((im + PIXEL_MEAN_BGR)[..., ::-1], 0, 255).astype(np.uint8)
                 ov = overlay_instances(rgb, {"masks": dt})
                 os.makedirs(visual_dir, exist_ok=True)
                 Image.fromarray(ov).save(os.path.join(visual_dir, f"vis_{n_images:04d}.png"))
@@ -277,6 +301,7 @@ def run_inference(
                 del evaluator.results[before:]
             else:
                 evaluator.add_image(dt, gt)
+            acc["score"] += time.perf_counter() - t_s
             n_images += 1
         batch, pending = next_batch, next_pending
     if pool is not None:
@@ -295,4 +320,9 @@ def run_inference(
         evaluator.results = [row for rows in gathered for row in rows]
     dt_total = time.perf_counter() - t0
     stats = evaluator.summarize()
-    return stats, {"images": n_images, "seconds": dt_total, "images_per_sec": n_images / max(dt_total, 1e-9)}
+    return stats, {
+        "images": n_images,
+        "seconds": dt_total,
+        "images_per_sec": n_images / max(dt_total, 1e-9),
+        "stage_seconds": {k: round(v, 2) for k, v in acc.items()},
+    }

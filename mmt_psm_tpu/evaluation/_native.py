@@ -26,8 +26,11 @@ def _build_and_load():
     so = os.path.join(root, "csrc", "libpapeval.so")
     try:
         if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+            # -ffp-contract=off: paste_resize_threshold must be
+            # bit-identical to the numpy f32 interpolation (no FMA)
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", so, src],
+                ["g++", "-O3", "-march=native", "-ffp-contract=off",
+                 "-shared", "-fPIC", "-o", so, src],
                 check=True,
                 capture_output=True,
             )
@@ -51,6 +54,13 @@ def _build_and_load():
             f64p, f64p, f64p, ctypes.c_int64, ctypes.c_int64, f64p, f64p,
         ]
         lib.aji_match.restype = ctypes.c_double
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.paste_resize_threshold.argtypes = [
+            f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_float, ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.paste_resize_threshold.restype = None
         _LIB = lib
     except Exception:
         _LIB = None
@@ -166,6 +176,29 @@ def aji_match(ious, inter, union, dt_areas, gt_areas) -> float:
             dt_areas.ctypes.data_as(f64p), gt_areas.ctypes.data_as(f64p),
         )
     )
+
+
+def paste_resize_threshold(
+    probs: np.ndarray, pad: int, bh: int, bw: int,
+    oy0: int, oy1: int, ox0: int, ox1: int, threshold: float,
+) -> np.ndarray:
+    """Clipped window of the padded-map bilinear resize, thresholded —
+    the Masker paste hot loop (engine/paste.py). Bit-identical to the
+    numpy `_bilinear_resize(padded, bh, bw) > thr` on the same window
+    (asserted by tests/test_native_scoring.py)."""
+    lib = _build_and_load()
+    assert lib is not None
+    m = probs.shape[-1]
+    probs = np.ascontiguousarray(probs, np.float32)
+    assert probs.shape == (m, m), probs.shape
+    out = np.empty((oy1 - oy0, ox1 - ox0), np.uint8)
+    lib.paste_resize_threshold(
+        probs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        m, pad, bh, bw, oy0, oy1, ox0, ox1,
+        ctypes.c_float(threshold),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out.view(bool)
 
 
 def rle_decode(counts: np.ndarray, h: int, w: int) -> np.ndarray:

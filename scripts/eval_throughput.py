@@ -32,9 +32,19 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", type=str, default="")
+    ap.add_argument("--torch-ckpt", type=str, default="")
     ap.add_argument("--images", type=int, default=208)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--workers", type=int, default=0, help="eval_workers (0=serial host)")
+    # ship raw RGB u8 canvases and normalize on device (1/4 the
+    # host->device bytes — the measured bottleneck on the axon tunnel:
+    # 14.4 s per 200 MB f32 b16 batch)
+    ap.add_argument("--raw-u8", action="store_true")
+    # materialize + device_put every batch BEFORE the timed pass: the
+    # timed loop then measures device compute + host paste/score only
+    # (loader GT-crop and image upload excluded) — the engine-bound
+    # number the per-stage microbench ceiling projects
+    ap.add_argument("--prestage", action="store_true")
     ap.add_argument("--out", type=str, default="")
     args = ap.parse_args()
 
@@ -80,9 +90,47 @@ def main():
     print(f"dataset: {len(ds)} windows from {n_slides} slides", flush=True)
 
     def loader():
-        return make_test_loader(ds, args.batch, 1024, max_gt=64, min_size=1000, max_size=1333)
+        it = make_test_loader(
+            ds, args.batch, 1024, max_gt=64, min_size=1000, max_size=1333,
+            raw_u8=args.raw_u8,
+        )
+        if not args.prestage:
+            return it
+        staged = []
+        for b in it:
+            b = dict(b)
+            b["image"] = jax.device_put(b["image"])
+            b["image_size"] = jax.device_put(b["image_size"])
+            staged.append(b)
+        return iter(staged)
 
-    if args.ckpt:
+    if args.torch_ckpt:
+        # a state_dict of the torch reference (e.g. tests/ref_train.py's
+        # cached CPU-trained model) imported through the production
+        # converter — the only full-flagship-graph trained weights
+        # available in this env (lift checkpoints ship without the
+        # relation modules)
+        import jax.numpy as jnp
+        import torch
+
+        from mmt_psm_tpu.utils.torch_import import apply_to_params, convert_state_dict
+
+        first = next(iter(loader()))
+        variables = jax.jit(
+            lambda: model.init(
+                {"params": jax.random.PRNGKey(0)},
+                jnp.asarray(first["image"][:1]),
+                jnp.asarray(first["image_size"][:1]),
+                train=False,
+            )
+        )()
+        sd = torch.load(args.torch_ckpt, map_location="cpu", weights_only=False)
+        flat = convert_state_dict({k: v.detach().numpy() for k, v in sd.items()})
+        p, report = apply_to_params(variables["params"], flat)
+        assert not report["mismatched"], report["mismatched"][:5]
+        params = {"params": p}
+        src = args.torch_ckpt
+    elif args.ckpt:
         out_dir, name = os.path.split(args.ckpt)
         from mmt_psm_tpu.utils.checkpoint import Checkpointer
 
@@ -119,7 +167,15 @@ def main():
         "wall_seconds": round(wall, 1),
         "batch": args.batch,
         "workers": args.workers,
-        "stats": {k: round(float(v), 4) for k, v in stats.items() if isinstance(v, (int, float))},
+        "raw_u8": args.raw_u8,
+        "prestage": args.prestage,
+        "stage_seconds": timing.get("stage_seconds", {}),
+        "stats": {
+            (k if isinstance(v, (int, float)) else f"{k}_{kk}"): round(float(x), 4)
+            for k, v in stats.items()
+            for kk, x in (v.items() if isinstance(v, dict) else [(None, v)])
+            if isinstance(x, (int, float))
+        },
     }
     print(json.dumps(out), flush=True)
     if args.out:

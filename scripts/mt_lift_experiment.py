@@ -131,6 +131,9 @@ def main():
     # pass e.g. an oracle arm's final student trained on DIFFERENT slide
     # seeds as the stand-in for e2e_mask_rcnn_R_50_FPN_1x.pth
     ap.add_argument("--init-from", type=str, default="")
+    # distinct checkpoint-dir suffix so variant runs (e.g. pretrained-
+    # init) never auto-resume from an earlier run's saves
+    ap.add_argument("--tag", type=str, default="")
     # periodic checkpointing + auto-resume so a cut-off run restarts from
     # its last save, not from scratch (resume replays the loader from its
     # start, so a resumed run sees a shifted batch order vs a straight one)
@@ -247,7 +250,11 @@ def main():
     results = {}
     t_all = time.time()
     for arm, arm_ds, with_mt in arms:
-        out_dir = f"/tmp/mt_lift_{arm}" + (f"_s{args.seed}" if args.seed else "")
+        out_dir = (
+            f"/tmp/mt_lift_{arm}"
+            + (f"_s{args.seed}" if args.seed else "")
+            + (f"_{args.tag}" if args.tag else "")
+        )
         cfg = make_cfg(with_mt, out_dir, odkd=(arm == "odkd"), arm=arm)
         src = make_source_loader(arm_ds, args.batch, size, max_gt=64, min_size=size, seed=args.seed)
         unl = (

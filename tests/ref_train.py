@@ -131,7 +131,7 @@ def synth_torch_batch(ref, rng, batch_size, size, num_cells=(3, 8), radius_range
 # (poolers.py:11-42) — the first recipe trained only at (256, 512) with
 # default radii and produced ZERO detections above sqrt(area) 100 on
 # the 1024 canvas (scale-OOD), with scores capped at ~0.53.
-TRAIN_RECIPE = dict(
+TRAIN_RECIPE_V2 = dict(
     iters=135,
     batch=2,
     lr=2e-3,
@@ -140,6 +140,22 @@ TRAIN_RECIPE = dict(
     sizes=(256, 512, 768),
     cells=((3, 8), (3, 8), (2, 5)),
     radii=((0.08, 0.18), (0.08, 0.18), (0.10, 0.35)),
+)
+
+# v3 continues from the cached v2 state (``base``): +100 iters weighted
+# toward the 512/768 scales — v2's composed-canvas score ceiling was
+# smax ~0.53, short of the peaked regime the score-threshold/NMS paths
+# ship in
+TRAIN_RECIPE = dict(
+    iters=100,
+    batch=2,
+    lr=2e-3,
+    clip=5.0,
+    seed=8,
+    sizes=(512, 768),
+    cells=((3, 8), (2, 5)),
+    radii=((0.08, 0.18), (0.10, 0.35)),
+    base=tuple(sorted(TRAIN_RECIPE_V2.items())),
 )
 
 
@@ -159,6 +175,9 @@ def trained_reference_sd(ref, cfg, cache_dir="/tmp", recipe=TRAIN_RECIPE, log=pr
 
     torch.manual_seed(recipe["seed"])
     model = ref.GeneralizedRCNN(cfg)
+    if recipe.get("base"):
+        # continuation: start from the cached base-recipe state
+        model.load_state_dict(trained_reference_sd(ref, cfg, cache_dir, dict(recipe["base"]), log))
     model.train()
     opt = torch.optim.SGD(model.parameters(), lr=recipe["lr"], momentum=0.9, weight_decay=5e-4)
     rng = np.random.default_rng(recipe["seed"])

@@ -128,3 +128,42 @@ def test_tta_loader_shapes():
     import numpy as np
 
     np.testing.assert_allclose(batch["tta_views"][0, 0], batch["image"][0])
+
+
+def test_raw_u8_device_normalize_parity():
+    """make_test_loader(raw_u8=True) ships RGB u8 canvases and the
+    jitted infer normalizes on device (engine/inference.py) — must be
+    numerically identical to the host-normalized f32 pipeline (same
+    BGR-flip + mean-subtract arithmetic, 4x fewer transfer bytes)."""
+    import jax
+    import numpy as np
+
+    from mmt_psm_tpu.data.loader import make_test_loader
+    from mmt_psm_tpu.data.pap import synthetic_slide_dataset
+    from mmt_psm_tpu.engine.inference import _cached_infer
+    from mmt_psm_tpu.models import MaskRCNN
+    from test_detector import TINY
+
+    ds = synthetic_slide_dataset(seed=5, num_slides=1, slide_size=256, win_size=128, is_train=False)
+    bf = next(make_test_loader(ds, 2, 128, max_gt=8, min_size=128, max_size=128))
+    bu = next(make_test_loader(ds, 2, 128, max_gt=8, min_size=128, max_size=128, raw_u8=True))
+    assert bu["image"].dtype == np.uint8 and bf["image"].dtype == np.float32
+
+    model = MaskRCNN(config=TINY)
+    import jax.numpy as jnp
+
+    params = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.asarray(bf["image"][:1]), jnp.asarray(bf["image_size"][:1]),
+            train=False,
+        )
+    )()
+    infer = _cached_infer(model)
+    out_f = infer(params, jnp.asarray(bf["image"]), jnp.asarray(bf["image_size"]))
+    out_u = infer(params, jnp.asarray(bu["image"]), jnp.asarray(bu["image_size"]))
+    for a, b in zip(out_f, out_u):
+        if a is None:
+            assert b is None
+            continue
+        np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-5)

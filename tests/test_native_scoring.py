@@ -143,3 +143,48 @@ def test_evaluator_output_invariant_to_backend(monkeypatch):
     for stat, per_cat in ref.items():
         for cat, v in per_cat.items():
             assert fallback[stat][cat] == pytest.approx(v, abs=1e-12), (stat, cat)
+
+
+def test_native_paste_bit_equality():
+    """csrc paste_resize_threshold vs the numpy _bilinear_resize path:
+    bit-identical bitmasks over random prob maps and boxes including
+    edge-clipped and sub-pixel ones (the kernel computes only the
+    image-clipped window of the full bh x bw resize)."""
+    import numpy as np
+
+    from mmt_psm_tpu.engine.paste import _bilinear_resize
+    from mmt_psm_tpu.evaluation import _native
+
+    if not _native.available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(3)
+    for _ in range(60):
+        m = int(rng.choice([25, 28]))
+        prob = rng.uniform(0, 1, (m, m)).astype(np.float32)
+        im = 400
+        x0, y0 = rng.uniform(-60, 380, 2)
+        w, h = rng.uniform(1, 200, 2)
+        box = np.array([x0, y0, x0 + w, y0 + h], np.float32)
+        scale = (m + 2.0) / m
+        w_half = (box[2] - box[0]) * 0.5 * scale
+        h_half = (box[3] - box[1]) * 0.5 * scale
+        cx, cy = (box[2] + box[0]) * 0.5, (box[3] + box[1]) * 0.5
+        bx = np.array([cx - w_half, cy - h_half, cx + w_half, cy + h_half]).astype(np.int32)
+        bw = max(int(bx[2] - bx[0] + 1), 1)
+        bh = max(int(bx[3] - bx[1] + 1), 1)
+        X0, Y0 = max(int(bx[0]), 0), max(int(bx[1]), 0)
+        X1, Y1 = min(int(bx[2]) + 1, im), min(int(bx[3]) + 1, im)
+        if X1 <= X0 or Y1 <= Y0:
+            continue
+        padded = np.zeros((m + 2, m + 2), np.float32)
+        padded[1:-1, 1:-1] = prob
+        ref = (_bilinear_resize(padded, bh, bw) > 0.5)[
+            (Y0 - bx[1]) : (Y1 - bx[1]), (X0 - bx[0]) : (X1 - bx[0])
+        ]
+        nat = _native.paste_resize_threshold(
+            prob, 1, bh, bw,
+            Y0 - int(bx[1]), Y1 - int(bx[1]), X0 - int(bx[0]), X1 - int(bx[0]), 0.5,
+        )
+        np.testing.assert_array_equal(ref, nat)
