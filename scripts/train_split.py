@@ -55,20 +55,23 @@ def main():
         lambda: model.init(rngs, jb["image"], jb["image_size"], gt, train=True)
     )()["params"]
 
-    def loss_fn(p):
+    def loss_fn(p, image, image_size, gt):
         losses = model.apply(
-            {"params": p}, jb["image"], jb["image_size"], gt, train=True,
+            {"params": p}, image, image_size, gt, train=True,
             rngs={"sample": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
         )
         return sum(jnp.asarray(v, jnp.float32) for v in losses.values())
 
+    # batch passed as jit ARGUMENTS — closing over it would bake 200 MB
+    # of image literals into the HLO (the remote compile endpoint 413s)
     fwd = jax.jit(loss_fn)
-    vg = jax.jit(lambda p: jax.value_and_grad(loss_fn)(p)[0])
+    vg = jax.jit(lambda p, im, sz, g: jax.value_and_grad(loss_fn)(p, im, sz, g)[0])
 
-    t_fwd = timeit(fwd, params)
-    t_vg = timeit(vg, params)
+    args = (params, jb["image"], jb["image_size"], gt)
+    t_fwd = timeit(fwd, *args)
+    t_vg = timeit(vg, *args)
     for name, fn in (("fwd", fwd), ("fwd+bwd", vg)):
-        c = fn.lower(params).compile().cost_analysis()
+        c = fn.lower(*args).compile().cost_analysis()
         gf = (c.get("flops", 0.0) or 0.0) / 1e9
         print(json.dumps({"stage": name, "gflop": round(gf, 1)}))
     print(json.dumps({
