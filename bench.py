@@ -81,7 +81,11 @@ def main():
     # b8 76.2, b16 90.2, b24 90.0, b32 91.2 p/s — saturates at 16, which
     # amortizes the per-dispatch tunnel overhead without hurting latency
     # beyond one batch period)
-    patches_per_sec = measure(iters=20, warmup=2, batch_size=16)
+    # warmup=4: the sensitivity sweep (scripts/bench_sensitivity.py,
+    # RESULTS.md) shows warmup=2 admits a single slow tunnel RTT into
+    # the timed window (26.5 outlier at iters=20); at warmup=4 the
+    # number is stable ±2.5% across iters 10/20/40
+    patches_per_sec = measure(iters=20, warmup=4, batch_size=16)
     print(
         json.dumps(
             {
