@@ -54,6 +54,11 @@ def _default_config() -> ConfigNode:
     C.DATALOADER.NUM_WORKERS = 4
     C.DATALOADER.SIZE_DIVISIBILITY = 0
     C.DATALOADER.ASPECT_RATIO_GROUPING = False
+    # batches assembled ahead in a background thread (data/loader.py
+    # Prefetcher — the TPU-host analog of NUM_WORKERS); 0 = synchronous,
+    # -1 = auto (2 with a spare core, 0 on 1-core hosts where the
+    # thread contends instead of overlapping — measured, RESULTS.md)
+    C.DATALOADER.PREFETCH_DEPTH = -1
 
     # ---------------------------------------------------------- BACKBONE
     C.MODEL.BACKBONE = ConfigNode()

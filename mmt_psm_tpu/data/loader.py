@@ -250,3 +250,95 @@ def make_test_loader(
             yield batch
 
     return gen()
+
+
+class Prefetcher:
+    """Background-thread batch prefetch — the TPU-host analog of the
+    reference's multi-worker DataLoader (reference:
+    maskrcnn_benchmark/data/build.py:166-181, NUM_WORKERS collate in
+    separate processes). Here one daemon thread runs the wrapped
+    iterator's batch assembly (windowing, resize, canvas pad, stack —
+    pure numpy, which releases the GIL in its hot loops) so it overlaps
+    the consumer's device dispatch/wait instead of serializing with it.
+
+    A thread, not a process pool: batches are ~50 MB numpy arrays, and
+    a process pool would pay pickle+pipe per batch (the measured reason
+    eval WORKERS lose on few-core hosts, RESULTS.md round 3); the numpy
+    batch crosses a thread boundary for free.
+
+    Order-preserving; iterator exceptions re-raise at the consuming
+    ``next()``. ``close()`` (also ``__exit__``) stops the thread early
+    if the consumer abandons the sweep; otherwise it parks bounded by
+    ``depth`` batches ahead (memory cap: depth x batch bytes).
+    """
+
+    _ITEM, _ERR, _END = 0, 1, 2
+
+    def __init__(self, batches, depth: int = 2):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=max(int(depth), 1))
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._run, args=(iter(batches),), daemon=True
+        )
+        self._thread.start()
+
+    def _run(self, it):
+        import queue
+
+        def put(msg):
+            while not self._stop.is_set():
+                try:
+                    self._q.put(msg, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        try:
+            for b in it:
+                if not put((self._ITEM, b)):
+                    return
+        except BaseException as e:  # re-raised on the consumer side
+            put((self._ERR, e))
+            return
+        put((self._END, None))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        kind, val = self._q.get()
+        if kind == self._ITEM:
+            return val
+        if kind == self._ERR:
+            raise val
+        raise StopIteration
+
+    def close(self):
+        self._stop.set()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+def prefetch(batches, depth: int = 2):
+    """Wrap a batch iterable in a :class:`Prefetcher` (depth 0: no-op).
+
+    depth -1 = auto: 2 with a spare core, 0 on 1-core hosts — measured
+    there the thread CONTENDS with the consumer (host-side transfer
+    serialization shares the core) instead of overlapping it: 1.39 vs
+    1.87 img/s end-to-end eval (RESULTS.md "Batch-assembly prefetch").
+    Same policy as run_inference's eval_workers auto mode.
+    """
+    if depth < 0:
+        import os
+
+        depth = 2 if (os.cpu_count() or 1) >= 2 else 0
+    return Prefetcher(batches, depth) if depth > 0 else batches

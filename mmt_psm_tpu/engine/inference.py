@@ -98,6 +98,7 @@ def run_inference(
     visual_dir: str | None = None,
     mat_dir: str | None = None,
     eval_workers: int = 0,
+    prefetch_depth: int = -1,
 ):
     """Eval loop: jitted inference per batch, Papeval accumulation on host.
 
@@ -123,6 +124,14 @@ def run_inference(
     per spare core, and SERIAL on hosts without spare cores (measured:
     on a 1-core host any pool is strictly slower than serial; on
     multi-core the per-image work scales ~linearly per worker).
+    prefetch_depth: batch assembly (resize/pad/stack numpy) runs in a
+    background thread up to this many batches ahead (data/loader.py
+    Prefetcher — the DataLoader-workers analog), overlapping the
+    device wait instead of serializing with it. 0 = synchronous.
+    -1 = auto: depth 2 on hosts with a spare core, synchronous on
+    1-core hosts (measured there: the thread CONTENDS with the
+    host-side transfer serialization instead of overlapping it —
+    1.39 vs 1.87 img/s, RESULTS.md "Batch-assembly prefetch").
     """
 
     infer = _cached_infer(model)
@@ -202,7 +211,13 @@ def run_inference(
     t0 = time.perf_counter()
     # single-stage pipeline: batch i+1 executes on device while the host
     # pastes and scores batch i (a per-batch sync would serialize device
-    # time with the host eval)
+    # time with the host eval); batch ASSEMBLY additionally runs ahead in
+    # the Prefetcher thread, so the "loader" stage below times only the
+    # residual queue wait
+    if prefetch_depth != 0:
+        from ..data.loader import prefetch as _prefetch
+
+        batches = _prefetch(batches, prefetch_depth)
     it = iter(batches)
     batch = next(it, None)
     pending = dispatch(batch) if batch is not None else None

@@ -56,8 +56,17 @@ class MTTrainer:
         self.model = model
         self.cfg = cfg
         self.mt = MTConfig.from_cfg(cfg)
-        self.source_loader = source_loader
-        self.unlabeled_loader = unlabeled_loader
+        # batch assembly runs ahead in a daemon thread (data/loader.py
+        # Prefetcher — the DataLoader-workers analog, reference
+        # data/build.py:166-181) so the host's resize/pad/stack numpy
+        # overlaps the device step instead of adding to it
+        from ..data.loader import prefetch
+
+        depth = int(getattr(cfg.DATALOADER, "PREFETCH_DEPTH", -1))
+        self.source_loader = prefetch(source_loader, depth)
+        self.unlabeled_loader = (
+            prefetch(unlabeled_loader, depth) if unlabeled_loader is not None else None
+        )
         self.logger = setup_logger("mmt_psm_tpu.trainer", output_dir)
         self.meters = MetricLogger()
         self.max_iter = cfg.SOLVER.MAX_ITER

@@ -6,8 +6,13 @@ separate XLA loop iteration with HBM round-trips for the suppression
 state. This kernel keeps the sorted boxes and the suppression mask
 resident in VMEM and runs the whole greedy scan inside one Pallas
 program: per 128-box tile, an in-register Jacobi fixpoint resolves
-intra-tile suppression, then one [tile, N] IoU pass suppresses later
-boxes (same exact-greedy algorithm, zero loop-boundary overhead).
+intra-tile suppression, then a column-CHUNKED IoU pass suppresses
+later boxes (same exact-greedy algorithm, zero loop-boundary
+overhead). Chunking bounds live VMEM at O(tile x chunk) regardless of
+N — the original [tile, N] pass materialized ~6 [128, N] f32 buffers,
+which blew VMEM at the C4 config's single-level 12k-proposal width —
+and skips columns earlier than the tile entirely (the [tile, N]
+version computed them and masked, ~2x wasted IoU work).
 
 Semantics identical to ops/nms.py / the reference kernels
 (csrc/cpu/nms_cpu.cpp:37-63): +1 area convention, suppress at
@@ -35,25 +40,24 @@ except Exception:  # pragma: no cover
 NEG_INF = -1e30
 
 
-def _nms_kernel(boxes_ref, valid_ref, out_ref, *, iou_threshold: float, tile: int):
+def _nms_kernel(boxes_ref, valid_ref, out_ref, *, iou_threshold: float, tile: int, chunk: int):
     """boxes_ref: [N, 4] f32 sorted by score desc; valid_ref: [N, 1] f32
     (1 valid); out_ref: [N, 1] f32 suppression flags (1 = suppressed).
 
     All dynamic indexing goes through refs with pl.ds (Mosaic has no
     value-level dynamic_slice); the running suppression state lives in
-    out_ref itself.
+    out_ref itself. N must be a multiple of ``chunk`` and ``chunk`` a
+    multiple of ``tile`` (nms_suppress_pallas pads accordingly).
     """
     n = boxes_ref.shape[0]
     num_tiles = n // tile
+    num_chunks = n // chunk
 
     out_ref[:] = jnp.zeros((n, 1), jnp.float32)
-    boxes = boxes_ref[:]  # [N, 4] resident in VMEM
-    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    area = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
 
-    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     tile_pos = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)[:, 0]
     tril = tile_pos[:, None] < tile_pos[None, :]
+    chunk_pos = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)[:, 0]
 
     def tile_body(t, carry):
         start = pl.multiple_of(t * tile, tile)
@@ -63,11 +67,6 @@ def _nms_kernel(boxes_ref, valid_ref, out_ref, *, iou_threshold: float, tile: in
 
         bx1, by1, bx2, by2 = tb[:, 0], tb[:, 1], tb[:, 2], tb[:, 3]
         ba = (bx2 - bx1 + 1.0) * (by2 - by1 + 1.0)
-        # IoU of the tile vs all boxes [tile, N] — static shapes only
-        w = jnp.maximum(jnp.minimum(bx2[:, None], x2[None, :]) - jnp.maximum(bx1[:, None], x1[None, :]) + 1.0, 0.0)
-        h = jnp.maximum(jnp.minimum(by2[:, None], y2[None, :]) - jnp.maximum(by1[:, None], y1[None, :]) + 1.0, 0.0)
-        inter = w * h
-        iou_tn = inter / jnp.maximum(ba[:, None] + area[None, :] - inter, 1e-10)
 
         # within-tile IoU [tile, tile]
         ww = jnp.maximum(jnp.minimum(bx2[:, None], bx2[None, :]) - jnp.maximum(bx1[:, None], bx1[None, :]) + 1.0, 0.0)
@@ -91,28 +90,53 @@ def _nms_kernel(boxes_ref, valid_ref, out_ref, *, iou_threshold: float, tile: in
         tsupp, _ = jax.lax.while_loop(fix_cond, fix_step, (tsupp0, jnp.array(True)))
 
         survivors = jnp.logical_and(jnp.logical_not(tsupp > 0.5), tvalid)
-        hit = jnp.any(jnp.logical_and(iou_tn >= iou_threshold, survivors[:, None]), axis=0)
-        later = idx >= start + tile
-        cur_all = out_ref[:][:, 0]
-        new_all = jnp.maximum(cur_all, jnp.logical_and(hit, later).astype(jnp.float32))
-        out_ref[:] = new_all[:, None]
+
+        # suppress later boxes, one [tile, chunk] IoU block at a time —
+        # only chunks containing columns >= start + tile are visited
+        def chunk_body(u, c2):
+            cstart = pl.multiple_of(u * chunk, chunk)
+            cb = boxes_ref[pl.ds(cstart, chunk), :]  # [chunk, 4]
+            cx1, cy1, cx2, cy2 = cb[:, 0], cb[:, 1], cb[:, 2], cb[:, 3]
+            ca = (cx2 - cx1 + 1.0) * (cy2 - cy1 + 1.0)
+            w = jnp.maximum(jnp.minimum(bx2[:, None], cx2[None, :]) - jnp.maximum(bx1[:, None], cx1[None, :]) + 1.0, 0.0)
+            h = jnp.maximum(jnp.minimum(by2[:, None], cy2[None, :]) - jnp.maximum(by1[:, None], cy1[None, :]) + 1.0, 0.0)
+            inter = w * h
+            iou_tc = inter / jnp.maximum(ba[:, None] + ca[None, :] - inter, 1e-10)
+            hit = jnp.any(jnp.logical_and(iou_tc >= iou_threshold, survivors[:, None]), axis=0)
+            later = (cstart + chunk_pos) >= start + tile
+            cur = out_ref[pl.ds(cstart, chunk), :][:, 0]
+            new = jnp.maximum(cur, jnp.logical_and(hit, later).astype(jnp.float32))
+            out_ref[pl.ds(cstart, chunk), :] = new[:, None]
+            return c2
+
+        jax.lax.fori_loop((start + tile) // chunk, num_chunks, chunk_body, 0)
         out_ref[pl.ds(start, tile), :] = tsupp[:, None]
         return carry
 
     jax.lax.fori_loop(0, num_tiles, tile_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("iou_threshold", "tile", "interpret"))
-def nms_suppress_pallas(boxes_sorted, valid_sorted, iou_threshold: float, tile: int = 128, interpret: bool = False):
-    """Suppression flags [N] (1 = suppressed) for score-sorted boxes."""
+@functools.partial(jax.jit, static_argnames=("iou_threshold", "tile", "chunk", "interpret"))
+def nms_suppress_pallas(boxes_sorted, valid_sorted, iou_threshold: float, tile: int = 128, chunk: int = 1024, interpret: bool = False):
+    """Suppression flags [N] (1 = suppressed) for score-sorted boxes.
+
+    ``chunk`` bounds the later-pass block to [tile, chunk] so VMEM use
+    is independent of N (1024 -> ~2 MB of live blocks). Short inputs
+    collapse to a single chunk; otherwise N pads up to a chunk multiple
+    (padding rows are invalid and cannot suppress anything).
+    """
     n = boxes_sorted.shape[0]
-    pad = (-n) % tile
+    m_tile = n + ((-n) % tile)
+    if m_tile <= chunk:
+        chunk = m_tile
+    chunk = max(tile, (chunk // tile) * tile)
+    pad = (-n) % chunk
     if pad:
         boxes_sorted = jnp.pad(boxes_sorted, ((0, pad), (0, 0)))
         valid_sorted = jnp.pad(valid_sorted, ((0, pad),))
     m = boxes_sorted.shape[0]
     out = pl.pallas_call(
-        functools.partial(_nms_kernel, iou_threshold=iou_threshold, tile=tile),
+        functools.partial(_nms_kernel, iou_threshold=iou_threshold, tile=tile, chunk=chunk),
         out_shape=jax.ShapeDtypeStruct((m, 1), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--images", type=int, default=208)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--workers", type=int, default=0, help="eval_workers (0=serial host)")
+    ap.add_argument(
+        "--prefetch-depth", type=int, default=-1,
+        help="batches assembled ahead in the Prefetcher thread "
+        "(0=synchronous loader, -1=auto: on with a spare core)",
+    )
     # ship raw RGB u8 canvases and normalize on device (1/4 the
     # host->device bytes — the measured bottleneck on the axon tunnel:
     # 14.4 s per 200 MB f32 b16 batch)
@@ -156,7 +161,10 @@ def main():
     print("warmed up; timing steady-state pass", flush=True)
 
     t0 = time.perf_counter()
-    stats, timing = run_inference(model, params, loader(), eval_workers=args.workers)
+    stats, timing = run_inference(
+        model, params, loader(), eval_workers=args.workers,
+        prefetch_depth=args.prefetch_depth,
+    )
     wall = time.perf_counter() - t0
     det_counts = None
     out = {
@@ -167,6 +175,7 @@ def main():
         "wall_seconds": round(wall, 1),
         "batch": args.batch,
         "workers": args.workers,
+        "prefetch_depth": args.prefetch_depth,
         "raw_u8": args.raw_u8,
         "prestage": args.prestage,
         "stage_seconds": timing.get("stage_seconds", {}),

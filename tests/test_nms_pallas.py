@@ -30,6 +30,33 @@ def test_pallas_nms_matches_oracle_interpret(n, thr, seed):
     np.testing.assert_array_equal(got, xla)
 
 
+def test_pallas_nms_multichunk_interpret():
+    """The chunked later-pass (VMEM fix for the C4 config's 12k-wide
+    NMS): n spanning several chunks, with a chunk boundary mid-tile
+    coverage and padding past the last chunk, must stay exact-greedy."""
+    rng = np.random.default_rng(7)
+    n, thr = 1700, 0.5  # chunk=512 -> 4 chunks, pad 1700 -> 2048
+    boxes = random_boxes(rng, n, size=500, min_wh=8, max_wh=90)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    valid = np.ones(n, dtype=bool)
+    valid[-50:] = False
+
+    order = np.argsort(-np.where(valid, scores, nms_pallas.NEG_INF))
+    supp = np.asarray(
+        nms_pallas.nms_suppress_pallas(
+            jnp.asarray(boxes[order]), jnp.asarray(valid[order].astype(np.float32)),
+            thr, chunk=512, interpret=True,
+        )
+    )
+    got = np.zeros(n, bool)
+    got[order] = np.logical_and(supp < 0.5, valid[order])
+
+    nv = valid.nonzero()[0]
+    want = np.zeros(n, dtype=bool)
+    want[nv[nms_oracle(boxes[nv].astype(np.float64), scores[nv], thr)]] = True
+    np.testing.assert_array_equal(got, want)
+
+
 def test_pallas_nms_respects_valid_interpret():
     rng = np.random.default_rng(3)
     boxes = random_boxes(rng, 64)
