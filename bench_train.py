@@ -26,6 +26,19 @@ REF_MS_PER_IT = 1200.0  # reference 1-GPU MT loop cadence (order of magnitude)
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--remat", action="store_true",
+        help="gradient-checkpoint backbone blocks (TPU.REMAT_BACKBONE A/B)",
+    )
+    ap.add_argument("--batch", type=int, default=4, help="images per step")
+    ap.add_argument(
+        "--sup-only", action="store_true", help="skip the (slow-compile) MT step"
+    )
+    cli = ap.parse_args()
+
     # no persistent compile cache here — see the note in bench.py (cache
     # serialization contends with the timed dispatch loop on this host)
     from mmt_psm_tpu.config import get_cfg
@@ -39,9 +52,11 @@ def main():
         make_supervised_step,
     )
 
-    batch, size = 4, 1024
+    batch, size = cli.batch, 1024
     ycfg = get_cfg()
     ycfg.merge_from_file("configs/pap/mmt_psm_r50_fpn.yaml")
+    if cli.remat:
+        ycfg.TPU.REMAT_BACKBONE = True
     cfg = ModelConfig.from_cfg(ycfg, train=True)
     assert cfg.image_size == 1024
     model = MaskRCNN(config=cfg)
@@ -122,19 +137,19 @@ def main():
     sup_fl = step_flops(sup_step)
     del sup_step
 
-    mt_step = (
-        jax.jit(make_mt_step(model, tx, mt))
-        .lower(state, labeled, unlabeled, rng)
-        .compile()
-    )
-    mt_ms = bench(mt_step, (labeled, unlabeled, rng))
-    mt_fl = step_flops(mt_step)
+    rows = [("supervised_train_step", sup_ms, sup_fl)]
+    if not cli.sup_only:
+        mt_step = (
+            jax.jit(make_mt_step(model, tx, mt))
+            .lower(state, labeled, unlabeled, rng)
+            .compile()
+        )
+        mt_ms = bench(mt_step, (labeled, unlabeled, rng))
+        mt_fl = step_flops(mt_step)
+        rows.append(("mmt_psm_train_step", mt_ms, mt_fl))
 
     PEAK_BF16 = 197e12  # v5e bf16 peak FLOP/s
-    for name, ms, fl in (
-        ("supervised_train_step", sup_ms, sup_fl),
-        ("mmt_psm_train_step", mt_ms, mt_fl),
-    ):
+    for name, ms, fl in rows:
         print(
             json.dumps(
                 {

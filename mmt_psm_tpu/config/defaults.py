@@ -307,6 +307,9 @@ def _default_config() -> ConfigNode:
     # "banded" (sorted row-band variant: wins standalone at 1000 RoIs but
     # loses fused, see RESULTS.md), or "windowed" (crop+einsum).
     C.TPU.ROI_ALIGN_IMPL = "pallas"
+    # gradient-checkpoint backbone bottleneck blocks (bytes-for-FLOPs
+    # trade in the HBM-bound train step; measured A/B in RESULTS.md)
+    C.TPU.REMAT_BACKBONE = False
     # jax.profiler trace capture: write a trace of iterations
     # [PROFILE_START, PROFILE_START+PROFILE_STEPS) into PROFILE_DIR
     # (empty = off). The reference has only wall-clock meters

@@ -14,6 +14,7 @@ class ResNetFPNBackbone(nn.Module):
     freeze_at: int = 2
     stride_in_1x1: bool = True
     dtype: object = None
+    remat: bool = False  # per-block gradient checkpointing (resnet.ResNet)
 
     @nn.compact
     def __call__(self, x):
@@ -22,6 +23,7 @@ class ResNetFPNBackbone(nn.Module):
             freeze_at=self.freeze_at,
             stride_in_1x1=self.stride_in_1x1,
             dtype=self.dtype,
+            remat=self.remat,
             name="body",
         )(x)
         return FPN(out_channels=self.out_channels, use_p6=True, dtype=self.dtype, name="fpn")(feats)
@@ -32,6 +34,7 @@ class ResNetC4Backbone(nn.Module):
     freeze_at: int = 2
     stride_in_1x1: bool = True
     dtype: object = None
+    remat: bool = False  # per-block gradient checkpointing (resnet.ResNet)
 
     @nn.compact
     def __call__(self, x):
@@ -40,6 +43,7 @@ class ResNetC4Backbone(nn.Module):
             freeze_at=self.freeze_at,
             stride_in_1x1=self.stride_in_1x1,
             dtype=self.dtype,
+            remat=self.remat,
             name="body",
         )(x)
         return feats  # (C4,)

@@ -93,6 +93,11 @@ class ModelConfig:
     backbone_out_channels: int = 256
     freeze_at: int = 2
     compute_dtype: str = "bfloat16"
+    # gradient-checkpoint backbone bottleneck blocks (TPU.REMAT_BACKBONE):
+    # the VJP recomputes block internals instead of saving them — a
+    # bytes-for-FLOPs trade for the HBM-bound train step. Params are
+    # unchanged; measured A/B in RESULTS.md before flipping the default.
+    remat_backbone: bool = False
     # "gather" (exact full-map contraction, best measured on-TPU perf:
     # dense einsums ride the MXU) or "windowed" (crop+einsum; fewer FLOPs
     # but per-RoI gathers lower poorly on TPU — kept for future tuning)
@@ -181,6 +186,7 @@ class ModelConfig:
             freeze_at=cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT,
             compute_dtype=cfg.TPU.COMPUTE_DTYPE,
             roi_align_impl=cfg.TPU.ROI_ALIGN_IMPL,
+            remat_backbone=bool(cfg.TPU.REMAT_BACKBONE),
         )
 
 
@@ -213,7 +219,8 @@ class MaskRCNN(nn.Module):
         if self.is_fpn:
             self.backbone = ResNetFPNBackbone(
                 conv_body=c.conv_body, out_channels=c.backbone_out_channels,
-                freeze_at=c.freeze_at, dtype=dt, name="backbone",
+                freeze_at=c.freeze_at, dtype=dt, remat=c.remat_backbone,
+                name="backbone",
             )
             rpn_channels = c.backbone_out_channels
             num_anchors = len(c.aspect_ratios)
@@ -221,7 +228,10 @@ class MaskRCNN(nn.Module):
             # C4 family: single stride-16 level, every anchor size on it
             from .backbone import ResNetC4Backbone
 
-            self.backbone = ResNetC4Backbone(conv_body=c.conv_body, freeze_at=c.freeze_at, dtype=dt, name="backbone")
+            self.backbone = ResNetC4Backbone(
+                conv_body=c.conv_body, freeze_at=c.freeze_at, dtype=dt,
+                remat=c.remat_backbone, name="backbone",
+            )
             rpn_channels = 1024
             num_anchors = len(c.aspect_ratios) * len(c.anchor_sizes)
         self.rpn_head = RPN.RPNHead(num_anchors=num_anchors, channels=rpn_channels, dtype=dt, name="rpn")

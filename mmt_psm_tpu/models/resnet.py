@@ -84,6 +84,12 @@ class ResNet(nn.Module):
     stride_in_1x1: bool = True
     freeze_at: int = 2  # freeze stem + stages < freeze_at (resnet.py:108-115)
     dtype: object = None
+    # gradient-checkpoint each bottleneck block: the VJP recomputes the
+    # block's internals instead of saving them, trading FLOPs (cheap at
+    # the measured 22% MFU) for the HBM bytes that bound the train step
+    # (RESULTS.md "MT-step stage decomposition"). Params/name structure
+    # are unchanged, so checkpoints stay interchangeable.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -92,6 +98,7 @@ class ResNet(nn.Module):
         if self.freeze_at >= 1:
             x = jax.lax.stop_gradient(x)
 
+        block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
         outputs = []
         stage2_bottleneck = self.num_groups * self.width_per_group
         for i, (n_blocks, ret) in enumerate(zip(spec["blocks"], spec["returns"])):
@@ -100,7 +107,7 @@ class ResNet(nn.Module):
             out_ch = self.res2_out_channels * 2**i
             first_stride = 1 if i == 0 else 2
             for b in range(n_blocks):
-                x = Bottleneck(
+                x = block_cls(
                     bottleneck_channels=bottleneck_ch,
                     out_channels=out_ch,
                     stride=first_stride if b == 0 else 1,
