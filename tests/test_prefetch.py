@@ -122,3 +122,50 @@ def tiny_model_and_batches():
         train=False,
     )
     return model, params, make_batches
+
+
+def test_trainer_prefetch_wrap_parity(tmp_path):
+    """MTTrainer wraps its loaders in the Prefetcher per
+    DATALOADER.PREFETCH_DEPTH; training through the threaded loader must
+    produce bit-identical params to the synchronous one (order
+    preservation through the queue is what guarantees it)."""
+    import itertools
+
+    import jax
+    import numpy as np
+
+    from mmt_psm_tpu.config import get_cfg
+    from mmt_psm_tpu.data.loader import Prefetcher
+    from mmt_psm_tpu.engine.trainer import MTTrainer
+    from mmt_psm_tpu.models import MaskRCNN
+
+    from test_detector import TINY
+    from test_parallel_trainer import _init_params, _np_batch
+
+    model = MaskRCNN(config=TINY)
+    batch_np = _np_batch(bsz=2)
+    params = _init_params(model, batch_np)
+
+    cfg = get_cfg()
+    cfg.SOLVER.BASE_LR = 5e-5
+    cfg.SOLVER.WARMUP_ITERS = 0
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.SOLVER.MAX_ITER = 3
+    cfg.SOLVER.CHECKPOINT_PERIOD = 10
+
+    def run(depth):
+        cfg.DATALOADER.PREFETCH_DEPTH = depth
+        t = MTTrainer(
+            model, params, cfg, itertools.repeat(batch_np),
+            output_dir=str(tmp_path / f"run{depth}"),
+        )
+        if depth > 0:
+            assert isinstance(t.source_loader, Prefetcher)
+        else:
+            assert not isinstance(t.source_loader, Prefetcher)
+        t.train()
+        return np.asarray(
+            jax.device_get(t.state.params["box_extractor"]["fc6"]["kernel"])
+        )
+
+    np.testing.assert_array_equal(run(0), run(2))
