@@ -280,6 +280,7 @@ class Prefetcher:
 
         self._q = queue.Queue(maxsize=max(int(depth), 1))
         self._stop = threading.Event()
+        self._done = False
         self._thread = threading.Thread(
             target=self._run, args=(iter(batches),), daemon=True
         )
@@ -310,9 +311,24 @@ class Prefetcher:
         return self
 
     def __next__(self):
-        kind, val = self._q.get()
+        # the _END/_ERR sentinel arrives exactly once — latch it so a
+        # next() after exhaustion (or after close()) raises
+        # StopIteration instead of parking forever on an empty queue
+        if self._done:
+            raise StopIteration
+        import queue
+
+        while True:
+            try:
+                kind, val = self._q.get(timeout=0.1)
+                break
+            except queue.Empty:
+                if self._stop.is_set():
+                    self._done = True
+                    raise StopIteration from None
         if kind == self._ITEM:
             return val
+        self._done = True
         if kind == self._ERR:
             raise val
         raise StopIteration
@@ -338,7 +354,18 @@ def prefetch(batches, depth: int = 2):
     Same policy as run_inference's eval_workers auto mode.
     """
     if depth < 0:
-        import os
-
-        depth = 2 if (os.cpu_count() or 1) >= 2 else 0
+        depth = 2 if usable_cpus() >= 2 else 0
     return Prefetcher(batches, depth) if depth > 0 else batches
+
+
+def usable_cpus() -> int:
+    """CPUs this process can actually run on. ``os.cpu_count()`` reports
+    the machine, ignoring CPU affinity/cgroup pinning — on a pinned
+    1-core container of an 8-core host it would enable the prefetch
+    thread exactly where it is a measured regression."""
+    import os
+
+    try:
+        return len(os.sched_getaffinity(0)) or 1
+    except AttributeError:  # non-Linux
+        return os.cpu_count() or 1

@@ -79,6 +79,16 @@ def _cached_infer(model):
             from ..data.transforms import PIXEL_MEAN_BGR
 
             images = images[..., ::-1].astype(jnp.float32) - jnp.asarray(PIXEL_MEAN_BGR)
+            # zero the canvas beyond image_size: the f32 path normalizes
+            # BEFORE zero-padding, so pad pixels are 0 there — a bare
+            # device mean-subtract would leave them at -mean and shift
+            # backbone features inside the pad's receptive field
+            yy = jnp.arange(images.shape[1])[None, :, None, None]
+            xx = jnp.arange(images.shape[2])[None, None, :, None]
+            inside = (yy < sizes[:, 0][:, None, None, None]) & (
+                xx < sizes[:, 1][:, None, None, None]
+            )
+            images = jnp.where(inside, images, 0.0)
         d = model.apply(p, images, sizes, train=False)
         masks = d.masks.astype(jnp.float16) if d.masks is not None else None
         return d.boxes, d.scores, d.labels, d.valid, masks, d.head_ids
@@ -158,9 +168,9 @@ def run_inference(
         return infer(params, device_in["image"], device_in["image_size"])
 
     if eval_workers < 0:
-        import os as _os
+        from ..data.loader import usable_cpus
 
-        ncpu = _os.cpu_count() or 1
+        ncpu = usable_cpus()  # affinity/cgroup-aware, not os.cpu_count()
         eval_workers = max(ncpu - 1, 0) if ncpu > 2 else 0
     pool = None
     if eval_workers > 0 and evaluator is None:
@@ -218,107 +228,115 @@ def run_inference(
         from ..data.loader import prefetch as _prefetch
 
         batches = _prefetch(batches, prefetch_depth)
-    it = iter(batches)
-    batch = next(it, None)
-    pending = dispatch(batch) if batch is not None else None
-    while batch is not None:
-        t_l = time.perf_counter()
-        next_batch = next(it, None)
-        next_pending = dispatch(next_batch) if next_batch is not None else None
-        t_d = time.perf_counter()
-        acc["loader"] += t_d - t_l
-        boxes, scores, labels, valid, masks, head_ids = jax.device_get(pending)
-        acc["device"] += time.perf_counter() - t_d
-        masks16 = None
-        if masks is None:
-            # box-only model (MASK_ON=False): box-filled 1x1 probs so the
-            # shared InstSeg conversion applies
-            masks = np.ones(boxes.shape[:2] + (1, 1), np.float32)
-        else:
-            # masks travel as f16 (half the transfer); numpy f16 math is
-            # scalar-slow, so widen once on host (workers get the f16
-            # copy — half the pickle bytes — and widen themselves)
-            masks16 = np.asarray(masks)
-            masks = np.asarray(masks, np.float32)
-        # the test loader pads the final partial batch by repeating the
-        # last sample; only score the real ones
-        n_real = int(batch.get("n_real", boxes.shape[0]))
-        for i in range(n_real):
-            v_i = valid[i]
-            if nms_type == "set" and head_ids is not None:
-                # K_HEAD>1 host set-NMS (reference box_head/inference.py:120-122)
-                from ..models.box_head import set_nms_filter
+    try:
+        it = iter(batches)
+        batch = next(it, None)
+        pending = dispatch(batch) if batch is not None else None
+        while batch is not None:
+            t_l = time.perf_counter()
+            next_batch = next(it, None)
+            next_pending = dispatch(next_batch) if next_batch is not None else None
+            t_d = time.perf_counter()
+            acc["loader"] += t_d - t_l
+            boxes, scores, labels, valid, masks, head_ids = jax.device_get(pending)
+            acc["device"] += time.perf_counter() - t_d
+            masks16 = None
+            if masks is None:
+                # box-only model (MASK_ON=False): box-filled 1x1 probs so the
+                # shared InstSeg conversion applies
+                masks = np.ones(boxes.shape[:2] + (1, 1), np.float32)
+            else:
+                # masks travel as f16 (half the transfer); numpy f16 math is
+                # scalar-slow, so widen once on host (workers get the f16
+                # copy — half the pickle bytes — and widen themselves)
+                masks16 = np.asarray(masks)
+                masks = np.asarray(masks, np.float32)
+            # the test loader pads the final partial batch by repeating the
+            # last sample; only score the real ones
+            n_real = int(batch.get("n_real", boxes.shape[0]))
+            for i in range(n_real):
+                v_i = valid[i]
+                if nms_type == "set" and head_ids is not None:
+                    # K_HEAD>1 host set-NMS (reference box_head/inference.py:120-122)
+                    from ..models.box_head import set_nms_filter
 
-                v_i = set_nms_filter(
-                    boxes[i], scores[i], labels[i], v_i, head_ids[i],
-                    nms_thresh=nms_thresh, num_classes=num_classes,
-                )
-            t_g = time.perf_counter()
-            gt = gt_to_instseg(
-                np.asarray(batch["boxes"][i]),
-                np.asarray(batch["labels"][i]),
-                np.asarray(batch["gt_valid"][i]),
-                np.asarray(batch["masks"][i]),
-            )
-            acc["gt"] += time.perf_counter() - t_g
-            t_s = time.perf_counter()
-            want_render = (visual_dir and n_images < visual_num) or mat_dir
-            if pool is not None and not want_render:
-                from . import _eval_worker
-
-                result_slots.append(
-                    pool.submit(
-                        _eval_worker.eval_one,
-                        (
-                            boxes[i], scores[i], labels[i], v_i,
-                            masks16[i] if masks16 is not None else masks[i],
-                            tuple(np.asarray(batch["image_size"][i]).tolist()),
-                            gt, evaluator.categories, evaluator.max_dets,
-                            evaluator.use_iou,
-                        ),
+                    v_i = set_nms_filter(
+                        boxes[i], scores[i], labels[i], v_i, head_ids[i],
+                        nms_thresh=nms_thresh, num_classes=num_classes,
                     )
+                t_g = time.perf_counter()
+                gt = gt_to_instseg(
+                    np.asarray(batch["boxes"][i]),
+                    np.asarray(batch["labels"][i]),
+                    np.asarray(batch["gt_valid"][i]),
+                    np.asarray(batch["masks"][i]),
                 )
+                acc["gt"] += time.perf_counter() - t_g
+                t_s = time.perf_counter()
+                want_render = (visual_dir and n_images < visual_num) or mat_dir
+                if pool is not None and not want_render:
+                    from . import _eval_worker
+
+                    result_slots.append(
+                        pool.submit(
+                            _eval_worker.eval_one,
+                            (
+                                boxes[i], scores[i], labels[i], v_i,
+                                masks16[i] if masks16 is not None else masks[i],
+                                tuple(np.asarray(batch["image_size"][i]).tolist()),
+                                gt, evaluator.categories, evaluator.max_dets,
+                                evaluator.use_iou,
+                            ),
+                        )
+                    )
+                    acc["score"] += time.perf_counter() - t_s
+                    n_images += 1
+                    continue
+                dt = detections_to_instseg(
+                    boxes[i], scores[i], labels[i], v_i, masks[i], batch["image_size"][i]
+                )
+                if visual_dir and n_images < visual_num:
+                    import os
+
+                    from ..data.transforms import PIXEL_MEAN_BGR
+                    from ..utils.visual import overlay_instances
+
+                    from PIL import Image
+
+                    h_i, w_i = int(batch["image_size"][i][0]), int(batch["image_size"][i][1])
+                    im = np.asarray(batch["image"][i][:h_i, :w_i])
+                    if im.dtype == np.uint8:  # raw_u8 loader: already RGB
+                        rgb = im
+                    else:
+                        rgb = np.clip((im + PIXEL_MEAN_BGR)[..., ::-1], 0, 255).astype(np.uint8)
+                    ov = overlay_instances(rgb, {"masks": dt})
+                    os.makedirs(visual_dir, exist_ok=True)
+                    Image.fromarray(ov).save(os.path.join(visual_dir, f"vis_{n_images:04d}.png"))
+                if mat_dir:
+                    import os
+
+                    from ..utils.mat_output import save_mat_output
+
+                    h_i, w_i = int(batch["image_size"][i][0]), int(batch["image_size"][i][1])
+                    os.makedirs(mat_dir, exist_ok=True)
+                    save_mat_output(dt, h_i, w_i, os.path.join(mat_dir, f"img_{n_images:04d}.mat"))
+                if pool is not None:
+                    before = len(evaluator.results)
+                    evaluator.add_image(dt, gt)
+                    result_slots.append(evaluator.results[before:])
+                    del evaluator.results[before:]
+                else:
+                    evaluator.add_image(dt, gt)
                 acc["score"] += time.perf_counter() - t_s
                 n_images += 1
-                continue
-            dt = detections_to_instseg(
-                boxes[i], scores[i], labels[i], v_i, masks[i], batch["image_size"][i]
-            )
-            if visual_dir and n_images < visual_num:
-                import os
-
-                from ..data.transforms import PIXEL_MEAN_BGR
-                from ..utils.visual import overlay_instances
-
-                from PIL import Image
-
-                h_i, w_i = int(batch["image_size"][i][0]), int(batch["image_size"][i][1])
-                im = np.asarray(batch["image"][i][:h_i, :w_i])
-                if im.dtype == np.uint8:  # raw_u8 loader: already RGB
-                    rgb = im
-                else:
-                    rgb = np.clip((im + PIXEL_MEAN_BGR)[..., ::-1], 0, 255).astype(np.uint8)
-                ov = overlay_instances(rgb, {"masks": dt})
-                os.makedirs(visual_dir, exist_ok=True)
-                Image.fromarray(ov).save(os.path.join(visual_dir, f"vis_{n_images:04d}.png"))
-            if mat_dir:
-                import os
-
-                from ..utils.mat_output import save_mat_output
-
-                h_i, w_i = int(batch["image_size"][i][0]), int(batch["image_size"][i][1])
-                os.makedirs(mat_dir, exist_ok=True)
-                save_mat_output(dt, h_i, w_i, os.path.join(mat_dir, f"img_{n_images:04d}.mat"))
-            if pool is not None:
-                before = len(evaluator.results)
-                evaluator.add_image(dt, gt)
-                result_slots.append(evaluator.results[before:])
-                del evaluator.results[before:]
-            else:
-                evaluator.add_image(dt, gt)
-            acc["score"] += time.perf_counter() - t_s
-            n_images += 1
-        batch, pending = next_batch, next_pending
+            batch, pending = next_batch, next_pending
+    finally:
+        # stop the Prefetcher thread even if paste/scoring raised
+        # mid-sweep — otherwise it parks in its put() retry loop for
+        # the process lifetime, pinning depth x ~50MB batches
+        close = getattr(batches, "close", None)
+        if close is not None:
+            close()
     if pool is not None:
         for slot in result_slots:
             rows = slot.result() if hasattr(slot, "result") else slot

@@ -121,16 +121,21 @@ def nms_suppress_pallas(boxes_sorted, valid_sorted, iou_threshold: float, tile: 
     """Suppression flags [N] (1 = suppressed) for score-sorted boxes.
 
     ``chunk`` bounds the later-pass block to [tile, chunk] so VMEM use
-    is independent of N (1024 -> ~2 MB of live blocks). Short inputs
-    collapse to a single chunk; otherwise N pads up to a chunk multiple
-    (padding rows are invalid and cannot suppress anything).
+    is independent of N (1024 -> ~2 MB of live blocks). ``chunk`` is a
+    ceiling: N splits into k = ceil(N_tile/chunk) EQUAL tile-aligned
+    chunks (chunk := ceil(N_tile/k) tile-rounded), so padding never
+    exceeds (k-1)·(tile-1) rows — naively padding N up to a chunk
+    multiple would nearly double the kernel work for N just past a
+    chunk boundary (1025 -> 2048). Padding rows are invalid and cannot
+    suppress anything.
     """
     n = boxes_sorted.shape[0]
     m_tile = n + ((-n) % tile)
-    if m_tile <= chunk:
-        chunk = m_tile
     chunk = max(tile, (chunk // tile) * tile)
-    pad = (-n) % chunk
+    k = -(-m_tile // chunk)  # chunks needed at the requested ceiling
+    chunk = -(-(-(-m_tile // k)) // tile) * tile  # ceil(m_tile/k), tile-aligned
+    pad = k * chunk - n
+    assert chunk % tile == 0 and pad < k * tile + tile
     if pad:
         boxes_sorted = jnp.pad(boxes_sorted, ((0, pad), (0, 0)))
         valid_sorted = jnp.pad(valid_sorted, ((0, pad),))

@@ -166,7 +166,6 @@ def main():
         prefetch_depth=args.prefetch_depth,
     )
     wall = time.perf_counter() - t0
-    det_counts = None
     out = {
         "params": src,
         "images": timing["images"],

@@ -117,7 +117,6 @@ def main():
     tx, _ = make_optimizer(get_cfg(), params)
     opt_state = jax.jit(tx.init)(params)
 
-    gt = batch_to_gt(labeled)
     r_sample, r_drop = jax.random.split(jax.random.PRNGKey(7))
     canvas_size = c.image_size // mt.mgd_canvas_stride
     n_views = 2 * mt.aug_k
@@ -255,7 +254,6 @@ def main():
     print(f"{'stage':20s} {'GFLOP':>9s} {'MB':>9s}" + ("   ms" if args.time else ""))
     tot_fl = 0.0
     results = []
-    live = {}  # stage name -> concrete outputs, for --time input chains
     for name, fn, sargs in stages:
         compiled = jax.jit(fn).lower(*sargs).compile()
         fl, by = _cost(compiled)

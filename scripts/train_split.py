@@ -65,7 +65,16 @@ def main():
     # batch passed as jit ARGUMENTS — closing over it would bake 200 MB
     # of image literals into the HLO (the remote compile endpoint 413s)
     fwd = jax.jit(loss_fn)
-    vg = jax.jit(lambda p, im, sz, g: jax.value_and_grad(loss_fn)(p, im, sz, g)[0])
+
+    def vg_fn(p, im, sz, g):
+        # return a reduction OVER THE GRADS, not just the loss: returning
+        # value_and_grad(...)[0] alone lets XLA dead-code-eliminate the
+        # entire backward (verified: compiled FLOPs collapse to the
+        # forward's), which would make the fwd/bwd split here fictional
+        loss, grads = jax.value_and_grad(loss_fn)(p, im, sz, g)
+        return loss, sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(grads))
+
+    vg = jax.jit(vg_fn)
 
     args = (params, jb["image"], jb["image_size"], gt)
     t_fwd = timeit(fwd, *args)

@@ -167,3 +167,18 @@ def test_raw_u8_device_normalize_parity():
             assert b is None
             continue
         np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-5)
+
+    # PADDED canvas (96px windows on the 128 canvas): the f32 path
+    # normalizes BEFORE zero-padding (pad pixels 0), so the device
+    # normalize must zero the pad frame too — a bare mean-subtract
+    # leaves it at -PIXEL_MEAN and shifts features near the border
+    bf = next(make_test_loader(ds, 2, 128, max_gt=8, min_size=96, max_size=96))
+    bu = next(make_test_loader(ds, 2, 128, max_gt=8, min_size=96, max_size=96, raw_u8=True))
+    assert tuple(bf["image_size"][0]) == (96, 96)  # real pad stripes
+    out_f = infer(params, jnp.asarray(bf["image"]), jnp.asarray(bf["image_size"]))
+    out_u = infer(params, jnp.asarray(bu["image"]), jnp.asarray(bu["image_size"]))
+    for a, b in zip(out_f, out_u):
+        if a is None:
+            assert b is None
+            continue
+        np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-5)

@@ -35,7 +35,7 @@ def test_pallas_nms_multichunk_interpret():
     NMS): n spanning several chunks, with a chunk boundary mid-tile
     coverage and padding past the last chunk, must stay exact-greedy."""
     rng = np.random.default_rng(7)
-    n, thr = 1700, 0.5  # chunk=512 -> 4 chunks, pad 1700 -> 2048
+    n, thr = 1700, 0.5  # chunk ceiling 512 -> 4 equal chunks of 448, pad 1700 -> 1792
     boxes = random_boxes(rng, n, size=500, min_wh=8, max_wh=90)
     scores = rng.uniform(0, 1, n).astype(np.float32)
     valid = np.ones(n, dtype=bool)
