@@ -42,12 +42,114 @@ def test_crop_window_gt_filters_tiny_remnants():
     assert list(labels) == [1]
 
 
+def _crop_window_gt_naive(ann, x, y, win, area_ratio_cutoff=0.005):
+    """The original full-frame-scan formulation, kept as the oracle for
+    the support-box-cached crop_window_gt."""
+    boxes, labels, masks = [], [], []
+    for i in range(len(ann.labels)):
+        bx = ann.boxes[i]
+        if bx[2] < x or bx[0] >= x + win or bx[3] < y or bx[1] >= y + win:
+            continue
+        m = ann.masks[i]
+        full_area = int(np.count_nonzero(m))
+        local = m[y : y + win, x : x + win]
+        if local.shape != (win, win):
+            pad = np.zeros((win, win), bool)
+            pad[: local.shape[0], : local.shape[1]] = local
+            local = pad
+        area = int(np.count_nonzero(local))
+        if full_area == 0 or area / full_area < area_ratio_cutoff or area < 4:
+            continue
+        ys, xs = np.nonzero(local)
+        boxes.append([xs.min(), ys.min(), xs.max(), ys.max()])
+        labels.append(int(ann.labels[i]))
+        masks.append(np.asarray(local, bool))
+    if not boxes:
+        return np.zeros((0, 4), np.float32), np.zeros((0,), np.int32), []
+    return np.asarray(boxes, np.float32), np.asarray(labels, np.int32), masks
+
+
+def test_crop_window_gt_matches_naive_full_frame_scan():
+    """The support-box-cached crop (one geometry pass per slide, then
+    instance-sized scans per window) must be bit-identical to slicing
+    the full frame per window: boxes, labels, masks, and the
+    ratio/area drop decisions, including edge-clamped windows, empty
+    masks, and instances whose box overlaps the window but whose mask
+    support does not."""
+    rng = np.random.default_rng(7)
+    H = W = 300
+    masks, boxes, labels = [], [], []
+    yy, xx = np.ogrid[:H, :W]
+    for k in range(25):
+        cy, cx = rng.integers(10, 290, 2)
+        r = int(rng.integers(4, 60))
+        m = (yy - cy) ** 2 + (xx - cx) ** 2 < r * r
+        masks.append(m)
+        ys, xs = np.nonzero(m)
+        if len(ys):
+            boxes.append([xs.min(), ys.min(), xs.max(), ys.max()])
+        else:
+            boxes.append([cx, cy, cx, cy])
+        labels.append(1 + k % 2)
+    # an all-empty mask whose box still overlaps windows
+    masks.append(np.zeros((H, W), bool))
+    boxes.append([50, 50, 120, 120])
+    labels.append(1)
+    # a box LARGER than the mask support (mask misses some windows the
+    # box overlaps)
+    m = np.zeros((H, W), bool)
+    m[10:20, 10:20] = True
+    masks.append(m)
+    boxes.append([0, 0, 299, 299])
+    labels.append(2)
+    ann = SlideAnnotations(
+        boxes=np.asarray(boxes, np.float32),
+        labels=np.asarray(labels, np.int32),
+        masks=masks,
+    )
+    from mmt_psm_tpu.data.pap import crop_window_gt as fast
+
+    for (x, y, win) in [(0, 0, 100), (100, 100, 100), (250, 250, 100), (0, 0, 300), (37, 81, 150)]:
+        fb, fl, fm = fast(ann, x, y, win)
+        nb, nl, nm = _crop_window_gt_naive(ann, x, y, win)
+        np.testing.assert_array_equal(fb, nb)
+        np.testing.assert_array_equal(fl, nl)
+        assert len(fm) == len(nm)
+        for a, b in zip(fm, nm):
+            np.testing.assert_array_equal(np.asarray(a, bool), np.asarray(b, bool))
+
+
 def test_resize_square_fast_path_and_boxes():
     img = np.zeros((100, 100, 3), np.uint8)
     s = {"image": img, "boxes": np.array([[10, 20, 30, 40]], np.float32), "labels": np.array([1]), "masks": np.zeros((1, 100, 100), np.uint8)}
     out = T.resize_sample(s, 80, 1333)
     assert out["image"].shape == (80, 80, 3)
     np.testing.assert_allclose(out["boxes"], [[8, 16, 24, 32]])
+
+
+def test_vectorized_mask_resize_matches_pil_nearest():
+    """_resize_masks_nearest (one gather over the [N, H, W] stack) must be
+    bit-identical to the per-mask PIL NEAREST resize it replaced — the
+    reference resizes masks through torchvision/PIL (reference
+    maskrcnn_benchmark/data/transforms/transforms.py:66-71), so parity
+    here keeps the composed parity suites meaningful."""
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    for (h, w, nh, nw) in [
+        (1000, 1000, 1024, 1024),  # the eval flagship shape
+        (100, 100, 80, 80),        # downscale
+        (7, 13, 19, 5),            # odd up/down mix
+        (33, 17, 17, 33),
+        (251, 97, 300, 309),
+    ]:
+        ms = rng.integers(0, 2, (5, h, w)).astype(np.uint8)
+        ref = np.stack(
+            [np.asarray(Image.fromarray(m).resize((nw, nh), Image.NEAREST)) for m in ms]
+        )
+        got = T._resize_masks_nearest(ms, nh, nw)
+        np.testing.assert_array_equal(ref, got)
+        assert got.flags["C_CONTIGUOUS"]
 
 
 def test_hflip_involution():
