@@ -85,8 +85,14 @@ def _instance_geometry(ann: SlideAnnotations):
     measured 388 ms/img eval-loader bottleneck); the support box lets
     every window-level scan run on the instance-sized crop instead,
     which is exact because the mask is identically zero outside it."""
+    # Cache key: the list identity AND each element's identity.
+    # SlideAnnotations.masks is treated as immutable after construction;
+    # the per-element id tuple guards against element reassignment in the
+    # same list. In-place mutation of a mask *array* is still undetectable
+    # (and unsupported) — don't do it.
+    key = (id(ann.masks), tuple(id(m) for m in ann.masks))
     cache = getattr(ann, "_geom_cache", None)
-    if cache is not None and cache[0] is ann.masks:
+    if cache is not None and cache[0] == key:
         return cache[1]
     geom = []
     for m in ann.masks:
@@ -98,7 +104,7 @@ def _instance_geometry(ann: SlideAnnotations):
         y0, y1, x0, x1 = int(rows[0]), int(rows[-1]), int(cols[0]), int(cols[-1])
         area = int(np.count_nonzero(m[y0 : y1 + 1, x0 : x1 + 1]))
         geom.append((y0, y1, x0, x1, area))
-    ann._geom_cache = (ann.masks, geom)
+    ann._geom_cache = (key, geom)
     return geom
 
 

@@ -138,9 +138,20 @@ def _resize_masks_nearest(ms: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
     ~67 ms/mask at 1000->1024; a 60-instance eval window spent ~4 s/image
     in it, dominating the measured loader stage (RESULTS.md round 4)."""
     h, w = ms.shape[1:3]
-    ix = np.minimum(((np.arange(new_w) + 0.5) * (w / new_w)).astype(np.int64), w - 1)
-    iy = np.minimum(((np.arange(new_h) + 0.5) * (h / new_h)).astype(np.int64), h - 1)
+    # PIL's nearest kernel accumulates the source coordinate sequentially
+    # (xo = 0.5*scale; xo += scale per pixel) and floors the ACCUMULATED
+    # value; the direct formula floor((i+0.5)*scale) disagrees at exact
+    # rounding ties (e.g. 640->1066), shifting mask rows/cols by 1px.
+    # Reproduce the accumulation exactly (cumsum of the per-pixel step).
+    ix = _pil_nearest_index(w, new_w)
+    iy = _pil_nearest_index(h, new_h)
     return np.ascontiguousarray(ms[:, iy[:, None], ix[None, :]])
+
+
+def _pil_nearest_index(old: int, new: int) -> np.ndarray:
+    s = old / new
+    acc = np.cumsum(np.concatenate([[0.5 * s], np.full(new - 1, s)]))
+    return np.minimum(np.floor(acc).astype(np.int64), old - 1)
 
 
 def hflip_sample(sample: dict) -> dict:

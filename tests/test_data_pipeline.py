@@ -142,6 +142,14 @@ def test_vectorized_mask_resize_matches_pil_nearest():
         (7, 13, 19, 5),            # odd up/down mix
         (33, 17, 17, 33),
         (251, 97, 300, 309),
+        # Tie-inducing shapes where floor((i+0.5)*scale) disagrees with
+        # PIL's sequential accumulation (ADVICE r4): exact rounding ties.
+        (480, 640, 800, 1066),
+        (600, 800, 800, 1066),
+        (720, 1280, 750, 1333),
+        (999, 1000, 1000, 1001),
+        (4, 7, 7, 4),
+        (1280, 640, 1333, 1066),
     ]:
         ms = rng.integers(0, 2, (5, h, w)).astype(np.uint8)
         ref = np.stack(
@@ -150,6 +158,15 @@ def test_vectorized_mask_resize_matches_pil_nearest():
         got = T._resize_masks_nearest(ms, nh, nw)
         np.testing.assert_array_equal(ref, got)
         assert got.flags["C_CONTIGUOUS"]
+    # Randomized sweep over small shapes — catches any remaining
+    # accumulation/rounding divergence from the PIL kernel.
+    for _ in range(200):
+        h, w = rng.integers(2, 64, 2)
+        nh, nw = rng.integers(2, 96, 2)
+        m = rng.integers(0, 2, (1, h, w)).astype(np.uint8)
+        ref = np.asarray(Image.fromarray(m[0]).resize((int(nw), int(nh)), Image.NEAREST))
+        got = T._resize_masks_nearest(m, int(nh), int(nw))[0]
+        np.testing.assert_array_equal(ref, got, err_msg=f"{h}x{w}->{nh}x{nw}")
 
 
 def test_hflip_involution():
