@@ -10,18 +10,67 @@ The BASELINE.md north star is >= 200 patches/sec on a v5e-8, i.e.
 number. Patches are padded to the 1024 canvas (matching the pap
 sliding-window pipeline, reference Pap.py:26-31 + SIZE_DIVISIBILITY).
 
-Prints exactly one JSON line:
+Prints exactly one JSON line on stdout:
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Robustness (round 5 — the round-4 driver bench timed out, rc=124,
+because ~8 of the 9 minutes were a deliberately fresh flagship compile
+with no liveness check in front; the reference always emits its timing,
+engine/inference.py:93-104):
+
+* ``--probe``: a tiny jitted computation proves the device + tunnel are
+  alive. main() runs it as a SUBPROCESS with a hard timeout and bounded
+  retries before committing to the expensive compile, so a dead/busy
+  chip fails in seconds, not after a driver timeout.
+* ``--warm-cache``: compiles the flagship programs with the persistent
+  compilation cache in WRITE mode and exits. main() runs this as a
+  subprocess first; the timed parent then enables the cache READ-ONLY
+  (write threshold set unreachably high), so compile collapses to a
+  disk deserialize (~30-60 s) and cache *serialization* — measured on
+  this 1-core host to steal enough CPU from the dispatch loop to read
+  4.4 p/s instead of 91 — can never pollute the timed window. Cold
+  cache: the warmer pays the one full compile; every later run (incl.
+  the driver's end-of-round run) lands the JSON line in ~2-3 min.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
 BASELINE_PER_CHIP = 25.0  # patches/sec/chip (200 on v5e-8)
+CACHE_DIR = os.environ.get(
+    "MMT_PSM_BENCH_CACHE", os.path.expanduser("~/.cache/mmt_psm_bench_cache")
+)
+PROBE_TIMEOUT_S = 120
+PROBE_RETRIES = 3
+WARM_TIMEOUT_S = 1500  # full fresh flagship compile is ~8-9 min here
+
+
+def _enable_cache(read_only: bool) -> None:
+    import jax
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+    # The min-compile-time threshold gates cache WRITES only; reads are
+    # unconditional. An unreachable threshold == read-only cache.
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", 1e18 if read_only else 0.0
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+def probe() -> None:
+    """Cheap device-liveness check: jit + execute + read back one scalar."""
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    x = jnp.arange(1024, dtype=jnp.float32)
+    val = float(jax.jit(lambda v: (v * v).sum())(x))
+    assert val == 357389824.0, val
+    print(f"probe ok: {dev.platform} {dev.device_kind}", file=sys.stderr)
 
 
 def measure(iters: int = 20, warmup: int = 2, batch_size: int = 16):
@@ -30,13 +79,13 @@ def measure(iters: int = 20, warmup: int = 2, batch_size: int = 16):
     Shared by the driver bench (main) and scripts/bench_sensitivity.py's
     methodology sweep (value vs iters/warmup).
     """
-    # NOTE: deliberately NOT enabling the persistent compilation cache
-    # here: cache serialization of the flagship executable on this
-    # 1-core bench host was measured stealing enough host CPU from the
-    # dispatch loop to corrupt the timed window (4.4 p/s reading on a
-    # cold cache vs 91 steady). The bench always compiles fresh.
     from mmt_psm_tpu.config import get_cfg
     from mmt_psm_tpu.data.synthetic import generate_batch, normalize_image
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from mmt_psm_tpu.models import MaskRCNN, ModelConfig
 
     ycfg = get_cfg()
@@ -76,7 +125,55 @@ def measure(iters: int = 20, warmup: int = 2, batch_size: int = 16):
     return batch_size * iters / dt
 
 
+def warm_cache() -> None:
+    """Compile the flagship programs into the persistent cache and exit."""
+    _enable_cache(read_only=False)
+    t0 = time.perf_counter()
+    pps = measure(iters=1, warmup=1, batch_size=16)
+    print(
+        f"warm-cache done in {time.perf_counter() - t0:.1f}s"
+        f" (throwaway reading {pps:.1f} p/s)",
+        file=sys.stderr,
+    )
+
+
+def _run_self(mode: str, timeout: float) -> bool:
+    """Run this script in a subprocess mode; diagnostics go to stderr."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), mode],
+            timeout=timeout,
+            stdout=sys.stderr,
+            stderr=sys.stderr,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        print(f"{mode} subprocess timed out after {timeout}s", file=sys.stderr)
+        return False
+
+
 def main():
+    # 1) Device liveness, fail-fast: a dead chip/tunnel should cost
+    #    seconds (clear rc=1 + stderr), never a driver-side timeout.
+    for attempt in range(1, PROBE_RETRIES + 1):
+        if _run_self("--probe", PROBE_TIMEOUT_S):
+            break
+        print(f"probe attempt {attempt}/{PROBE_RETRIES} failed", file=sys.stderr)
+        if attempt == PROBE_RETRIES:
+            print("device probe failed; refusing the expensive compile", file=sys.stderr)
+            sys.exit(1)
+        time.sleep(15 * attempt)
+
+    # 2) Warm the compilation cache out-of-process (cache writes and
+    #    their CPU cost happen there, not in the timed process). A warm
+    #    cache makes this a ~1 min no-op. Tolerate failure: the parent
+    #    then simply compiles fresh like the pre-round-5 bench did.
+    if not _run_self("--warm-cache", WARM_TIMEOUT_S):
+        print("cache warm failed; timed process will compile fresh", file=sys.stderr)
+
+    # 3) Timed measurement with a read-only cache.
+    _enable_cache(read_only=True)
     # throughput-optimal serving batch on v5e (scripts/bench_batch_sweep.py:
     # b8 76.2, b16 90.2, b24 90.0, b32 91.2 p/s — saturates at 16, which
     # amortizes the per-dispatch tunnel overhead without hurting latency
@@ -99,4 +196,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--probe" in sys.argv:
+        probe()
+    elif "--warm-cache" in sys.argv:
+        warm_cache()
+    else:
+        main()

@@ -26,3 +26,41 @@ jax.config.update("jax_platforms", "cpu")
 from mmt_psm_tpu.utils.env import enable_persistent_compilation_cache  # noqa: E402
 
 enable_persistent_compilation_cache()
+
+# ---------------------------------------------------------------------------
+# Auditable slow-run manifest (VERDICT r4 item 9): every @pytest.mark.slow
+# test appends (timestamp, test id, outcome, wall) to SLOW_RUNS.md at the
+# repo root, so "the slow suite is green" is verifiable from a committed
+# artifact instead of forensics on .pytest_cache.
+# ---------------------------------------------------------------------------
+_SLOW_LOG = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SLOW_RUNS.md"
+)
+_SLOW_HEADER = (
+    "# Slow-test run manifest\n\n"
+    "Appended automatically by tests/conftest.py for every test marked\n"
+    "`slow` (UTC timestamp, test id, outcome, wall seconds). Do not edit\n"
+    "entries by hand.\n\n"
+)
+
+
+def pytest_runtest_logreport(report):
+    is_call = report.when == "call"
+    is_setup_skip = report.when == "setup" and report.outcome == "skipped"
+    if not (is_call or is_setup_skip):
+        return
+    if "slow" not in getattr(report, "keywords", {}):
+        return
+    import datetime
+
+    stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+    outcome = "SKIPPED" if is_setup_skip else report.outcome.upper()
+    line = f"- `{stamp}` `{report.nodeid}` **{outcome}** {report.duration:.1f}s\n"
+    try:
+        new = not os.path.exists(_SLOW_LOG)
+        with open(_SLOW_LOG, "a") as f:
+            if new:
+                f.write(_SLOW_HEADER)
+            f.write(line)
+    except OSError:
+        pass
