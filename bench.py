@@ -154,23 +154,31 @@ def _run_self(mode: str, timeout: float) -> bool:
 
 
 def main():
+    t_start = time.perf_counter()
+
+    def stamp(msg):
+        print(f"[bench +{time.perf_counter() - t_start:6.1f}s] {msg}", file=sys.stderr)
+
+    skip_prep = os.environ.get("MMT_PSM_BENCH_SKIP_PREP", "") == "1"
     # 1) Device liveness, fail-fast: a dead chip/tunnel should cost
     #    seconds (clear rc=1 + stderr), never a driver-side timeout.
     for attempt in range(1, PROBE_RETRIES + 1):
-        if _run_self("--probe", PROBE_TIMEOUT_S):
+        if skip_prep or _run_self("--probe", PROBE_TIMEOUT_S):
+            stamp(f"probe ok (attempt {attempt})")
             break
-        print(f"probe attempt {attempt}/{PROBE_RETRIES} failed", file=sys.stderr)
+        stamp(f"probe attempt {attempt}/{PROBE_RETRIES} failed")
         if attempt == PROBE_RETRIES:
             print("device probe failed; refusing the expensive compile", file=sys.stderr)
             sys.exit(1)
-        time.sleep(15 * attempt)
+        time.sleep(5 * attempt)
 
     # 2) Warm the compilation cache out-of-process (cache writes and
     #    their CPU cost happen there, not in the timed process). A warm
     #    cache makes this a ~1 min no-op. Tolerate failure: the parent
     #    then simply compiles fresh like the pre-round-5 bench did.
-    if not _run_self("--warm-cache", WARM_TIMEOUT_S):
+    if not skip_prep and not _run_self("--warm-cache", WARM_TIMEOUT_S):
         print("cache warm failed; timed process will compile fresh", file=sys.stderr)
+    stamp("cache warm done")
 
     # 3) Timed measurement with a read-only cache.
     _enable_cache(read_only=True)
@@ -183,6 +191,7 @@ def main():
     # the timed window (26.5 outlier at iters=20); at warmup=4 the
     # number is stable ±2.5% across iters 10/20/40
     patches_per_sec = measure(iters=20, warmup=4, batch_size=16)
+    stamp("measurement done")
     print(
         json.dumps(
             {

@@ -68,17 +68,25 @@ def _flatten_level(logits_l, reg_l):
 
 
 def _select_single_level(
-    scores, deltas, anchors, image_hw, *, pre_nms_top_n, post_nms_top_n, nms_thresh, min_size
+    logits, deltas, anchors, image_hw, *, pre_nms_top_n, post_nms_top_n, nms_thresh, min_size
 ):
     """Per-image, per-level proposal selection (rpn/inference.py:78-137).
 
-    scores: [HWA] sigmoid objectness; deltas: [HWA, 4]; anchors: [HWA, 4].
-    Returns (boxes [post,4], scores [post], valid [post]).
+    logits: [HWA] RAW objectness — sigmoid is strictly monotonic, so the
+    top-k selection and NMS ordering are identical on logits and only
+    the kept ``pre_nms_top_n`` scores pay the sigmoid (the reference
+    sigmoids the full map first, rpn/inference.py:97; on TPU that is a
+    [HWA] f32 map + materialization per (image, level) on the serving
+    hot path for values that are thrown away). deltas: [HWA, 4];
+    anchors: [HWA, 4]. Returns (boxes [post,4], scores [post], valid).
     """
-    n = scores.shape[0]
+    n = logits.shape[0]
     k = min(pre_nms_top_n, n)
-    top_scores, top_idx = jax.lax.top_k(scores, k)
-    top_deltas = deltas[top_idx]
+    top_logits, top_idx = jax.lax.top_k(logits, k)
+    top_scores = jax.nn.sigmoid(top_logits)
+    # cast AFTER the gather: same values (elementwise), but the full
+    # [HWA, 4] f32 regression map is never materialized
+    top_deltas = deltas[top_idx].astype(jnp.float32)
     top_anchors = anchors[top_idx]
     boxes = bc.decode(top_deltas, top_anchors)
     boxes = clip_to_image(boxes, image_hw[0], image_hw[1])
@@ -110,7 +118,7 @@ def select_proposals(
     per_level = []
     for obj_l, reg_l, anc_l in zip(objectness, box_regression, anchors):
         obj, reg = _flatten_level(obj_l, reg_l)
-        scores = jax.nn.sigmoid(obj.astype(jnp.float32))
+        logits = obj.astype(jnp.float32)
         fn = partial(
             _select_single_level,
             pre_nms_top_n=pre_nms_top_n,
@@ -119,7 +127,7 @@ def select_proposals(
             min_size=min_size,
         )
         boxes_b, scores_b, valid_b = jax.vmap(fn, in_axes=(0, 0, None, 0))(
-            scores, reg.astype(jnp.float32), anc_l, image_sizes
+            logits, reg, anc_l, image_sizes
         )
         per_level.append((boxes_b, scores_b, valid_b))
 
