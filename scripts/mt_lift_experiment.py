@@ -85,6 +85,10 @@ def main():
     ap.add_argument("--iters", type=int, default=1800)
     ap.add_argument("--start-mt", type=int, default=400)
     ap.add_argument("--size", type=int, default=256)
+    # model canvas (0 = same as --size). The flagship regime windows at
+    # 1000 (reference Pap.py:26-31) but pads to a /32-divisible 1024
+    # canvas (SIZE_DIVISIBILITY) — pass --size 1000 --canvas 1024.
+    ap.add_argument("--canvas", type=int, default=0)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--lr", type=float, default=2.5e-4)
     ap.add_argument("--labeled-slides", type=int, default=1)
@@ -154,8 +158,10 @@ def main():
     from mmt_psm_tpu.engine.trainer import MTTrainer
 
     size = args.size
-    model, _ = build_model(size, with_hint=args.fg_hint > 0)
-    eval_model, _ = build_model(size, with_hint=False)
+    canvas = args.canvas or size
+    assert canvas % 32 == 0 and canvas >= size, (size, canvas)
+    model, _ = build_model(canvas, with_hint=args.fg_hint > 0)
+    eval_model, _ = build_model(canvas, with_hint=False)
 
     # labeled: a few windows of one slide — the label-scarce regime
     train_ds = synthetic_slide_dataset(
@@ -217,7 +223,7 @@ def main():
         os.makedirs(out_dir, exist_ok=True)
         return cfg
 
-    loader0 = make_source_loader(train_ds, args.batch, size, max_gt=64, min_size=size, seed=args.seed)
+    loader0 = make_source_loader(train_ds, args.batch, canvas, max_gt=64, min_size=size, seed=args.seed)
     batch0 = {k: jnp.asarray(v) for k, v in next(loader0).items()}
     params = init_params(model, batch0, seed=args.seed)
     if args.init_from:
@@ -256,9 +262,9 @@ def main():
             + (f"_{args.tag}" if args.tag else "")
         )
         cfg = make_cfg(with_mt, out_dir, odkd=(arm == "odkd"), arm=arm)
-        src = make_source_loader(arm_ds, args.batch, size, max_gt=64, min_size=size, seed=args.seed)
+        src = make_source_loader(arm_ds, args.batch, canvas, max_gt=64, min_size=size, seed=args.seed)
         unl = (
-            make_unlabeled_loader(unlabeled_ds, args.batch, size, min_size=size, seed=1 + args.seed)
+            make_unlabeled_loader(unlabeled_ds, args.batch, canvas, min_size=size, seed=1 + args.seed)
             if with_mt
             else None
         )
@@ -276,18 +282,20 @@ def main():
         if with_mt:
             ck.save(f"{arm}_final_teacher", host.teacher_params, tag=False)
 
-        val_loader = make_test_loader(val_ds, args.batch, size, max_gt=64, min_size=size)
+        val_loader = make_test_loader(val_ds, args.batch, canvas, max_gt=64, min_size=size)
         results[f"{arm}_student"] = evaluate(eval_model, host.params, val_loader)
         print(f"[{arm}] student: {results[f'{arm}_student']}", flush=True)
         if with_mt:
             # lambda = 0 never EMAs the teacher (MTtrainer.py:195) — the
             # sup arm's teacher is frozen init, not worth evaluating
-            val_loader = make_test_loader(val_ds, args.batch, size, max_gt=64, min_size=size)
+            val_loader = make_test_loader(val_ds, args.batch, canvas, max_gt=64, min_size=size)
             results[f"{arm}_teacher"] = evaluate(eval_model, host.teacher_params, val_loader)
             print(f"[{arm}] teacher: {results[f'{arm}_teacher']}", flush=True)
 
     results["meta"] = {
         "seed": args.seed,
+        "size": size,
+        "canvas": canvas,
         "iters": args.iters,
         "start_mt": args.start_mt,
         "lambda": args.lam,
