@@ -119,6 +119,10 @@ def main():
     pb, pv, db, dv = jax.device_get(stages(params, images, sizes))
     print(f"chip stage pull done in {time.time()-t0:.0f}s; "
           f"proposals {pb.shape}, detections {db.shape}", file=sys.stderr)
+    if "--save" in sys.argv:
+        np.savez("/tmp/flagship_rois.npz", prop_boxes=pb, prop_valid=pv,
+                 det_boxes=db, det_valid=dv)
+        print("saved /tmp/flagship_rois.npz", file=sys.stderr)
 
     size = cfg.image_size
     shapes = [(size // 4, size // 4), (size // 8, size // 8),
