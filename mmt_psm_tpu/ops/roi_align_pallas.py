@@ -206,27 +206,32 @@ def _axis_weights_batch(start, size, pooled: int, grid: int, dim, origin, window
     return jnp.sum(a, axis=2)  # [M, P, window]
 
 
-def _window_plan(shapes, boxes, scales: tuple, output_size: int, sampling_ratio: int, window: int):
+def _window_plan(shapes, boxes, scales: tuple, output_size: int, sampling_ratio: int, window: int, align: int = 8):
     """Shared forward/backward schedule: window assignment, sort by
     window identity, interpolation matrices.
 
-    Window starts are aligned down to multiples of 8 (the x start
-    because HBM sublane tiling requires it, both so that overlapping
-    RoIs land on IDENTICAL windows) and the windows widened by 8 to
-    cover the alignment slack. RoIs are then sorted by window
-    identity and consecutive duplicates reuse the VMEM-resident
+    Window starts are aligned down to multiples of ``align`` (>= 8:
+    the x start because HBM sublane tiling requires it, both so that
+    overlapping RoIs land on IDENTICAL windows) and the windows widened
+    by ``align`` to cover the alignment slack. RoIs are then sorted by
+    window identity and consecutive duplicates reuse the VMEM-resident
     window without a new DMA — on clustered detections (the pap
     regime: ~15 proposals per cell) this removes most of the HBM
-    traffic, which dominates the kernel.
+    traffic, which dominates the kernel. Coarser ``align`` trades a
+    bigger window (more bytes per DMA) for fewer distinct windows
+    (more sharing); the pooled values are EXACT for any align — the
+    interpolation matrices are window-local (scripts/window_stats.py
+    measures the traffic trade on real proposal sets).
 
     shapes: per-level static [B, H_l, W_l, C] shapes; boxes: [B, N, 4].
     Returns (meta [6, M] i32, ay/ax [M, P, W] f32, order [M], pad_hw).
     """
+    assert align % 8 == 0 and align >= 8, align
     num_levels = len(shapes)
     bsz, n = boxes.shape[:2]
     m = bsz * n
-    window_y = window + 8
-    window_x = window + 8
+    window_y = window + align
+    window_x = window + align
     # small top levels are padded so a full window always fits; weights
     # never reference rows/cols beyond the true extent, so pads are dead
     pad_hw = [(max(window_y, s[1]), max(window_x, s[2])) for s in shapes]
@@ -254,8 +259,8 @@ def _window_plan(shapes, boxes, scales: tuple, output_size: int, sampling_ratio:
     rh = jnp.maximum(flat_boxes[:, 3] * scale - sy, 1.0)
     oy = jnp.clip(jnp.floor(sy) - 1, 0, (pad_h[levels] - window_y).astype(jnp.float32)).astype(jnp.int32)
     ox = jnp.clip(jnp.floor(sx) - 1, 0, (pad_w[levels] - window_x).astype(jnp.float32)).astype(jnp.int32)
-    oy = (oy // 8) * 8  # 8-aligned starts: DMA tiling + window identity
-    ox = (ox // 8) * 8
+    oy = (oy // align) * align  # aligned starts: DMA tiling + window identity
+    ox = (ox // align) * align
     b_idx = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), n)
 
     # sort by window identity; first-of-window rois trigger the DMA,
@@ -290,7 +295,7 @@ def _window_plan(shapes, boxes, scales: tuple, output_size: int, sampling_ratio:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scales", "output_size", "sampling_ratio", "window", "interpret"),
+    static_argnames=("scales", "output_size", "sampling_ratio", "window", "align", "interpret"),
 )
 def _pallas_pool(
     features,
@@ -299,6 +304,7 @@ def _pallas_pool(
     output_size: int,
     sampling_ratio: int,
     window: int,
+    align: int,
     interpret: bool,
 ):
     """features: tuple of [B, H_l, W_l, C]; boxes: [B, N, 4] image
@@ -311,7 +317,7 @@ def _pallas_pool(
     m = bsz * n
 
     meta, ay, ax, order, pad_hw, window_y, window_x = _window_plan(
-        tuple(f.shape for f in features), boxes, scales, output_size, sampling_ratio, window
+        tuple(f.shape for f in features), boxes, scales, output_size, sampling_ratio, window, align
     )
     ay = ay.astype(dtype)
     ax = ax.astype(dtype)
@@ -465,6 +471,7 @@ def _pallas_pool_bwd(
     output_size: int,
     sampling_ratio: int,
     window: int,
+    align: int,
     interpret: bool,
 ):
     """Transpose of _pallas_pool: scatter the pooled cotangent g
@@ -481,7 +488,7 @@ def _pallas_pool_bwd(
     m = bsz * n
 
     meta, ay, ax, order, pad_hw, window_y, window_x = _window_plan(
-        shapes, boxes, scales, output_size, sampling_ratio, window
+        shapes, boxes, scales, output_size, sampling_ratio, window, align
     )
     ay = ay.astype(dtype)
     ax = ax.astype(dtype)
@@ -549,7 +556,7 @@ def _dense_pool(features, boxes, scales, output_size, sampling_ratio):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6)
+    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7)
 )
 def multilevel_roi_align_pallas(
     features,
@@ -558,6 +565,7 @@ def multilevel_roi_align_pallas(
     output_size: int,
     sampling_ratio: int,
     window: int = 48,
+    align: int = 8,
     interpret: bool = False,
 ):
     """Batched multi-level ROIAlign on the Pallas windowed-gather kernel.
@@ -568,13 +576,13 @@ def multilevel_roi_align_pallas(
     RoI support (always, for level-mapper-consistent boxes).
     """
     return _pallas_pool(
-        tuple(features), boxes, tuple(scales), output_size, sampling_ratio, window, interpret
+        tuple(features), boxes, tuple(scales), output_size, sampling_ratio, window, align, interpret
     )
 
 
-def _fwd(features, boxes, scales, output_size, sampling_ratio, window, interpret):
+def _fwd(features, boxes, scales, output_size, sampling_ratio, window, align, interpret):
     out = _pallas_pool(
-        tuple(features), boxes, tuple(scales), output_size, sampling_ratio, window, interpret
+        tuple(features), boxes, tuple(scales), output_size, sampling_ratio, window, align, interpret
     )
     return out, (tuple(features), boxes)
 
@@ -599,7 +607,7 @@ def _bwd_dense(scales, output_size, sampling_ratio, res, g):
     return transpose(g)[0]
 
 
-def _bwd(scales, output_size, sampling_ratio, window, interpret, res, g):
+def _bwd(scales, output_size, sampling_ratio, window, align, interpret, res, g):
     if BACKWARD_IMPL == "dense":
         return _bwd_dense(scales, output_size, sampling_ratio, res, g), None
     features, boxes = res
@@ -614,6 +622,7 @@ def _bwd(scales, output_size, sampling_ratio, window, interpret, res, g):
         output_size,
         sampling_ratio,
         window,
+        align,
         interpret,
     )
     return grads, None

@@ -27,6 +27,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mask", action="store_true", help="mask-head RoIs (180/img) instead of box-head (1000/img)")
     ap.add_argument("--window", type=int, default=48)
+    ap.add_argument("--align", type=int, default=8)
     ap.add_argument("--resolution", type=int, default=0, help="0 = 7 for box / 14 for mask")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--rois", type=str, default="/tmp/flagship_rois.npz")
@@ -64,13 +65,13 @@ def main():
         def body(i, acc):
             b2 = jboxes + (i.astype(jnp.float32) * 1e-3)
             return acc + multilevel_roi_align_pallas(
-                feats, b2, scales, res, 2, args.window
+                feats, b2, scales, res, 2, args.window, args.align
             ).astype(jnp.float32).sum()
 
         fn = jax.jit(lambda f, b: jax.lax.fori_loop(0, K, body, jnp.float32(0.0)))
     else:
         fn = jax.jit(
-            lambda f, b: multilevel_roi_align_pallas(f, b, scales, res, 2, args.window).sum()
+            lambda f, b: multilevel_roi_align_pallas(f, b, scales, res, 2, args.window, args.align).sum()
         )
     # warmup/compile
     float(fn(feats, jboxes))
@@ -82,7 +83,7 @@ def main():
     print(
         f"{'mask' if args.mask else 'box'}-head pooler window={args.window} res={res}: "
         f"{dt*1e3:7.2f} ms/batch  ({dt/bsz*1e6:6.0f} us/patch, {bsz}x{n} RoIs, "
-        f"scan={args.scan})"
+        f"align={args.align} scan={args.scan})"
     )
 
 

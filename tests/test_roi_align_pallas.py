@@ -43,7 +43,7 @@ def feats():
 def test_matches_dense_exact(feats):
     rng = np.random.default_rng(1)
     boxes = jnp.asarray(np.stack([_boxes(rng, 40), _boxes(rng, 40)]))
-    out_p = multilevel_roi_align_pallas(feats, boxes, SCALES, 7, 2, 48, True)
+    out_p = multilevel_roi_align_pallas(feats, boxes, SCALES, 7, 2, 48, 8, True)
     out_d = _dense_pool(feats, boxes, SCALES, 7, 2)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_d), atol=1e-4)
 
@@ -61,7 +61,7 @@ def test_mask_resolution_and_edge_boxes(feats):
         np.float32,
     )
     boxes = jnp.asarray(np.stack([edge, _boxes(rng, 4)]))
-    out_p = multilevel_roi_align_pallas(feats, boxes, SCALES, 14, 2, 48, True)
+    out_p = multilevel_roi_align_pallas(feats, boxes, SCALES, 14, 2, 48, 8, True)
     out_d = _dense_pool(feats, boxes, SCALES, 14, 2)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_d), atol=1e-4)
 
@@ -71,7 +71,7 @@ def test_gradients_flow_via_dense_vjp(feats):
     boxes = jnp.asarray(np.stack([_boxes(rng, 6), _boxes(rng, 6)]))
 
     def loss_p(f):
-        return jnp.sum(multilevel_roi_align_pallas(f, boxes, SCALES, 7, 2, 48, True) ** 2)
+        return jnp.sum(multilevel_roi_align_pallas(f, boxes, SCALES, 7, 2, 48, 8, True) ** 2)
 
     def loss_d(f):
         return jnp.sum(_dense_pool(f, boxes, SCALES, 7, 2) ** 2)
@@ -98,7 +98,7 @@ def test_windowed_backward_random_cotangent(feats):
     )
     for pooled in (7, 14):
         out_p, vjp_p = jax.vjp(
-            lambda f: multilevel_roi_align_pallas(f, boxes, SCALES, pooled, 2, 48, True), feats
+            lambda f: multilevel_roi_align_pallas(f, boxes, SCALES, pooled, 2, 48, 8, True), feats
         )
         out_d, vjp_d = jax.vjp(lambda f: _dense_pool(f, boxes, SCALES, pooled, 2), feats)
         g = jnp.asarray(rng.normal(size=out_p.shape).astype(np.float32))
@@ -117,7 +117,7 @@ def test_backward_impl_dense_flag(feats):
     boxes = jnp.asarray(np.stack([_boxes(rng, 5), _boxes(rng, 5)]))
 
     def loss(f):
-        return jnp.sum(multilevel_roi_align_pallas(f, boxes, SCALES, 7, 2, 48, True) ** 2)
+        return jnp.sum(multilevel_roi_align_pallas(f, boxes, SCALES, 7, 2, 48, 8, True) ** 2)
 
     g_win = jax.grad(loss)(feats)
     old = rap.BACKWARD_IMPL
@@ -144,7 +144,7 @@ def test_windowed_backward_bf16():
 
     def loss16(f):
         return jnp.sum(
-            multilevel_roi_align_pallas(f, boxes, SCALES, 7, 2, 48, True).astype(jnp.float32) ** 2
+            multilevel_roi_align_pallas(f, boxes, SCALES, 7, 2, 48, 8, True).astype(jnp.float32) ** 2
         )
 
     g16 = jax.grad(loss16)(feats16)
@@ -160,3 +160,33 @@ def test_windowed_backward_bf16():
         b = np.asarray(b)
         denom = np.abs(b).max() + 1e-6
         assert np.abs(a - b).max() / denom < 0.03, np.abs(a - b).max() / denom
+
+
+@pytest.mark.parametrize("align", [16, 32, 64])
+def test_align_sweep_matches_dense(feats, align):
+    """Start-alignment coarsening is a pure traffic/dedup trade — the
+    pooled values must be EXACT for any align (the interpolation
+    matrices are window-local; ops/roi_align_pallas._window_plan)."""
+    rng = np.random.default_rng(7)
+    boxes = jnp.asarray(np.stack([_boxes(rng, 24), _boxes(rng, 24)]))
+    out_p = multilevel_roi_align_pallas(feats, boxes, SCALES, 7, 2, 48, align, True)
+    out_d = _dense_pool(feats, boxes, SCALES, 7, 2)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_d), atol=1e-4)
+
+
+def test_align_backward_matches_dense(feats):
+    """Windowed scatter-add backward under coarse alignment: cotangent
+    parity vs the dense linear_transpose."""
+    rng = np.random.default_rng(8)
+    boxes = jnp.asarray(np.stack([_boxes(rng, 12), _boxes(rng, 12)]))
+
+    def f_coarse(f):
+        return jnp.sum(multilevel_roi_align_pallas(f, boxes, SCALES, 7, 2, 48, 32, True) ** 2)
+
+    def f_dense(f):
+        return jnp.sum(_dense_pool(f, boxes, SCALES, 7, 2) ** 2)
+
+    g_c = jax.grad(f_coarse)(feats)
+    g_d = jax.grad(f_dense)(feats)
+    for a, b in zip(g_c, g_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
