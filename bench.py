@@ -90,6 +90,10 @@ def measure(iters: int = 20, warmup: int = 2, batch_size: int = 16):
 
     ycfg = get_cfg()
     ycfg.merge_from_file("configs/pap/mmt_psm_r50_fpn.yaml")
+    # ad-hoc kernel-knob A/B without editing the yaml (e.g. pooler align)
+    env_align = os.environ.get("MMT_PSM_POOL_ALIGN")
+    if env_align:
+        ycfg.TPU.POOL_ALIGN = int(env_align)
     cfg = ModelConfig.from_cfg(ycfg, train=False)
     assert cfg.with_relation_nms and cfg.with_relation_mask and cfg.image_size == 1024
     model = MaskRCNN(config=cfg)

@@ -307,6 +307,10 @@ def _default_config() -> ConfigNode:
     # "banded" (sorted row-band variant: wins standalone at 1000 RoIs but
     # loses fused, see RESULTS.md), or "windowed" (crop+einsum).
     C.TPU.ROI_ALIGN_IMPL = "pallas"
+    # Pallas pooler window-start alignment (ops/roi_align_pallas.py):
+    # coarser starts trade slightly larger DMA windows for cross-RoI
+    # window dedup; EXACT for any multiple of 8 (parity-tested)
+    C.TPU.POOL_ALIGN = 8
     # gradient-checkpoint backbone bottleneck blocks (bytes-for-FLOPs
     # trade in the HBM-bound train step; measured A/B in RESULTS.md)
     C.TPU.REMAT_BACKBONE = False

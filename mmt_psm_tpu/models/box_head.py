@@ -121,7 +121,7 @@ def subsample_proposals(
     return SampledRoIs(*out)
 
 
-def pool_boxes_batched(features, boxes, scales, resolution, sampling_ratio, impl: str = "windowed", roi_chunk: int | None = None):
+def pool_boxes_batched(features, boxes, scales, resolution, sampling_ratio, impl: str = "windowed", roi_chunk: int | None = None, align: int = 8):
     """Multi-level pooling for batched per-image box sets.
 
     features: per-level [B, H, W, C]; boxes: [B, S, 4]. Returns
@@ -141,7 +141,8 @@ def pool_boxes_batched(features, boxes, scales, resolution, sampling_ratio, impl
             from ..ops.roi_align_pallas import multilevel_roi_align_pallas
 
             return multilevel_roi_align_pallas(
-                tuple(features), boxes, tuple(scales), resolution, sampling_ratio
+                tuple(features), boxes, tuple(scales), resolution, sampling_ratio,
+                48, align,
             )
         impl = "gather"  # off-TPU (CPU parity tests): the exact path
 

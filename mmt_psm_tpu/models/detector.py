@@ -102,6 +102,12 @@ class ModelConfig:
     # dense einsums ride the MXU) or "windowed" (crop+einsum; fewer FLOPs
     # but per-RoI gathers lower poorly on TPU — kept for future tuning)
     roi_align_impl: str = "pallas"
+    # Pallas pooler window-start alignment (ops/roi_align_pallas.py):
+    # coarser starts enlarge each DMA window by (align-8) rows/cols but
+    # dedupe windows across nearby RoIs; pooled values are EXACT for any
+    # align. Measured on captured flagship RoIs (scripts/window_stats.py):
+    # align=32 cuts the box-head window traffic 375 -> 129 us/patch.
+    pool_align: int = 8
     # mean-teacher hint adaptor (MGD): 1x1 conv per FPN level
     # (reference roi_box_feature_extractors.py:45-75, MT.T_ADAPT)
     with_hint_adaptor: bool = False
@@ -186,6 +192,7 @@ class ModelConfig:
             freeze_at=cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT,
             compute_dtype=cfg.TPU.COMPUTE_DTYPE,
             roi_align_impl=cfg.TPU.ROI_ALIGN_IMPL,
+            pool_align=int(cfg.TPU.POOL_ALIGN),
             remat_backbone=bool(cfg.TPU.REMAT_BACKBONE),
         )
 
@@ -303,7 +310,7 @@ class MaskRCNN(nn.Module):
         c = self.config
         pooled = BH.pool_boxes_batched(
             features, boxes, c.pooler_scales, c.box_pooler_resolution, c.box_pooler_sampling,
-            impl=c.roi_align_impl, roi_chunk=roi_chunk,
+            impl=c.roi_align_impl, roi_chunk=roi_chunk, align=c.pool_align,
         )
         b, s = pooled.shape[:2]
         flat = pooled.reshape(b * s, *pooled.shape[2:])
@@ -327,7 +334,7 @@ class MaskRCNN(nn.Module):
             return logits, x
         pooled = BH.pool_boxes_batched(
             features, boxes, c.pooler_scales, c.mask_pooler_resolution, c.mask_pooler_sampling,
-            impl=c.roi_align_impl,
+            impl=c.roi_align_impl, align=c.pool_align,
         )
         b, s = pooled.shape[:2]
         flat = pooled.reshape(b * s, *pooled.shape[2:])

@@ -159,7 +159,15 @@ TRAIN_RECIPE = dict(
 )
 
 
-def trained_reference_sd(ref, cfg, cache_dir="/tmp", recipe=TRAIN_RECIPE, log=print):
+# Cache in the repo (survives host /tmp wipes between rounds); override
+# with MMT_REF_TRAIN_CACHE.
+DEFAULT_CACHE_DIR = os.environ.get(
+    "MMT_REF_TRAIN_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache"),
+)
+
+
+def trained_reference_sd(ref, cfg, cache_dir=None, recipe=TRAIN_RECIPE, log=print):
     """Train the reference briefly on CPU; returns a state_dict.
 
     Cached on disk keyed by the recipe + config yaml, so repeated test
@@ -168,6 +176,9 @@ def trained_reference_sd(ref, cfg, cache_dir="/tmp", recipe=TRAIN_RECIPE, log=pr
     import torch
 
     fill_pycoco_stub()
+    if cache_dir is None:
+        cache_dir = DEFAULT_CACHE_DIR
+    os.makedirs(cache_dir, exist_ok=True)
     key = hashlib.sha1(repr(sorted(recipe.items())).encode()).hexdigest()[:10]
     path = os.path.join(cache_dir, f"ref_trained_{key}.pth")
     if os.path.exists(path):
