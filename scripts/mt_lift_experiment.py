@@ -147,6 +147,12 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    # restarts/evals of unchanged programs hit disk instead of paying the
+    # 1024-canvas compile again (~28 min observed on the contended host)
+    from mmt_psm_tpu.utils.env import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     from mmt_psm_tpu.config import get_cfg
     from mmt_psm_tpu.data.loader import (
         make_source_loader,
