@@ -17,6 +17,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("ckpts", nargs="+", help="checkpoint name(s), e.g. /tmp/mt_lift_mt/mt_final_student")
     ap.add_argument("--size", type=int, default=256)
+    # model canvas (0 = same as --size), mirroring mt_lift_experiment's
+    # flagship 1000px-window / 1024-canvas decoupling
+    ap.add_argument("--canvas", type=int, default=0)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--out", type=str, default="")
     args = ap.parse_args()
@@ -27,8 +30,12 @@ def main():
     from mmt_psm_tpu.data.pap import synthetic_slide_dataset
     from mmt_psm_tpu.utils.checkpoint import Checkpointer
 
+    from mmt_psm_tpu.utils.env import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     size = args.size
-    eval_model, _ = build_model(size, with_hint=False)
+    canvas = args.canvas or size
+    eval_model, _ = build_model(canvas, with_hint=False)
     val_ds = synthetic_slide_dataset(
         seed=99, num_slides=8, slide_size=2 * size, win_size=size, overlap=0.0, is_train=False
     )
@@ -37,7 +44,12 @@ def main():
         out_dir, name = os.path.split(ck_path)
         ck = Checkpointer(out_dir, name)
         params = ck.load(name)
-        loader = make_test_loader(val_ds, args.batch, size, max_gt=64, min_size=size)
+        # periodic trainer saves wrap the tree ({"params":..., "step":...}
+        # for t_model_*, full train-state trees for model_*); the *_final_*
+        # saves are raw param trees. Accept any of them.
+        if isinstance(params, dict) and "params" in params:
+            params = params["params"]
+        loader = make_test_loader(val_ds, args.batch, canvas, max_gt=64, min_size=size)
         results[name] = evaluate(eval_model, params, loader)
         print(f"{name}: {results[name]}", flush=True)
     print(json.dumps(results, indent=2))
